@@ -1,0 +1,176 @@
+"""Stride-level hierarchy + kernel-map construction, fully on device.
+
+Replaces MinkowskiEngine's coordinate manager. The reference model
+(/root/reference/model/resunet.py:173-232) runs 18 sparse convolutions whose
+geometry (which input voxel feeds which output voxel under which kernel
+offset) ME resolves with C++ hash maps per call. Here the full geometry of a
+forward pass — every stride level's coordinates and every conv's gather
+table — is built once per batch as one static-shape XLA subprogram:
+
+  * level coords: floor-divide + composite-key sort + first-occurrence dedup
+  * kernel maps:  vectorized lexicographic binary search per kernel offset
+
+Every map is a pure GATHER table: kmap[k, i] = input row for output i under
+offset k (or -1). Because for a fixed offset each output voxel has at most
+one contributing input, sparse conv needs no scatter at all — see
+sparse_ops.sparse_conv.
+
+ME transpose-conv parity note: ME computes out[f] += in[c] @ W[d] for
+f = c + d·s·dil; we gather in[f + d'·s·dil] @ W'[d'], so W'[d'] = W[-d'].
+The torch checkpoint importer flips transpose kernels accordingly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coords import coord_keys, kernel_offsets, lookup, sort_by_keys
+from .types import INVALID_BATCH, LevelCoords, SparseGraph, map_key
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """Static description of one sparse convolution's geometry."""
+
+    name: str
+    in_stride: int
+    out_stride: int
+    kernel_size: int
+    dilation: int = 1
+
+    @property
+    def offset_scale(self) -> int:
+        # Offsets are in units of the finer of the two tensor strides
+        # (matches ME: conv offsets in input-stride units, transpose-conv
+        # offsets in output-stride units).
+        return min(self.in_stride, self.out_stride) * self.dilation
+
+    @property
+    def key(self) -> str:
+        return map_key(self.in_stride, self.out_stride, self.kernel_size,
+                       self.dilation)
+
+    @property
+    def is_identity_map(self) -> bool:
+        # 1x1x1 convs on the same level need no kernel map at all.
+        return (self.kernel_size == 1 and self.in_stride == self.out_stride)
+
+
+def _index_level(coords: jax.Array, mask: jax.Array,
+                 stride: int) -> LevelCoords:
+    """Build the sorted-key index of an existing coordinate set."""
+    hi, lo = coord_keys(coords, stride)
+    perm0 = jnp.arange(coords.shape[0], dtype=jnp.int32)
+    hi_s, lo_s, perm = sort_by_keys(hi, lo, perm0)
+    return LevelCoords(coords, mask, hi_s, lo_s, perm)
+
+
+def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
+                      cap: int) -> LevelCoords:
+    """Unique coords at `stride` derived from level-0 coordinates.
+
+    Matches ME's tensor-stride semantics: coarse coords are the distinct
+    values of floor(c / stride) * stride. (floor(floor(x/a)/b) ==
+    floor(x/(ab)), so deriving every level straight from level 0 equals
+    chaining per-conv strides.)
+    """
+    b = coords0[:, 0:1]
+    xyz = (coords0[:, 1:4] // stride) * stride
+    coords = jnp.concatenate([b, xyz], axis=1)
+    hi, lo = coord_keys(coords, stride)
+    hi_s, lo_s, coords_s = sort_by_keys(hi, lo, coords)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+    ])
+    valid = first & (coords_s[:, 0] != INVALID_BATCH)
+    slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid & (slot < cap), slot, cap)
+    out = jnp.full((cap + 1, 4), -1, jnp.int32).at[:, 0].set(INVALID_BATCH)
+    out = out.at[slot].set(coords_s, mode="drop")[:cap]
+    out_mask = out[:, 0] != INVALID_BATCH
+    return _index_level(out, out_mask, stride)
+
+
+def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
+                in_stride: int, offsets: np.ndarray) -> jax.Array:
+    """Gather table: kmap[k, i] = row of in_level at out_coords[i]+off[k]."""
+    oc = out_level.coords
+
+    def per_offset(off):
+        qxyz = oc[:, 1:4] + off[None, :]
+        q = jnp.concatenate([oc[:, 0:1], qxyz], axis=1)
+        qh, ql = coord_keys(q, in_stride)
+        # Padded output rows have batch INVALID -> key sentinel -> -1.
+        res = lookup(in_level.key_hi, in_level.key_lo, in_level.perm,
+                     qh, ql)
+        if in_stride > 1:
+            # A query off the coarse lattice has no input (key building
+            # floor-divides by stride, which would otherwise alias it onto
+            # a real coarse voxel). Matters for transpose convs.
+            on_lattice = jnp.all(qxyz % in_stride == 0, axis=1)
+            res = jnp.where(on_lattice, res, -1)
+        return res
+
+    return jax.vmap(per_offset)(jnp.asarray(offsets))
+
+
+def build_graph(coords: jax.Array, mask: jax.Array,
+                specs: Sequence[ConvSpec],
+                level_caps: Dict[int, int]) -> SparseGraph:
+    """Build all stride levels + kernel maps needed by a conv plan.
+
+    Args:
+      coords: int32[N0, 4] level-0 voxel coords (from voxelize_points).
+      mask: bool[N0].
+      specs: the model's convolutions (duplicate geometry is deduped).
+      level_caps: static dict stride -> capacity. Must contain every stride
+        appearing in `specs`; stride 1 capacity must equal N0.
+
+    This function is jittable (specs/level_caps static via closure).
+    """
+    strides = sorted({s for sp in specs for s in (sp.in_stride, sp.out_stride)})
+    levels: Dict[int, LevelCoords] = {}
+    for s in strides:
+        if s == 1:
+            levels[1] = _index_level(coords, mask, 1)
+        else:
+            levels[s] = _downsample_level(coords, mask, s, level_caps[s])
+
+    kmaps: Dict[str, jax.Array] = {}
+    for sp in specs:
+        if sp.is_identity_map or sp.key in kmaps:
+            continue
+        offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
+        kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
+                                    levels[sp.in_stride],
+                                    sp.in_stride, offsets)
+    return SparseGraph(levels=levels, kmaps=kmaps)
+
+
+def graph_builder(specs: Sequence[ConvSpec], level_caps: Dict[int, int]):
+    """Return a jitted (coords, mask) -> SparseGraph closure."""
+    specs = tuple(specs)
+    caps = dict(level_caps)
+
+    @jax.jit
+    def build(coords, mask):
+        return build_graph(coords, mask, specs, caps)
+
+    return build
+
+
+def default_level_caps(n_cap: int, strides: Sequence[int],
+                       shrink: float = 0.5) -> Dict[int, int]:
+    """Heuristic per-level capacities: LiDAR voxel counts roughly halve per
+    2x stride (surfaces are ~2D). Rounded up to multiples of 8."""
+    caps = {}
+    for i, s in enumerate(sorted(set(strides))):
+        c = n_cap if s == 1 else int(n_cap * (shrink ** i))
+        caps[s] = max(8, -(-c // 8) * 8)
+    return caps

@@ -1,0 +1,105 @@
+"""Sparse tensor compute primitives: gather-GEMM convolution + masked stats.
+
+The heart of the framework. A sparse convolution with kernel map
+kmap[k, i] (built by kernel_maps.build_graph) is evaluated as
+
+    out[i] = sum_k  X[kmap[k, i]] @ W[k]        (missing -> zero)
+
+i.e. K gathers + K dense GEMMs and NO scatter: because each (output, offset)
+pair has at most one input voxel, the map is output-aligned. The GEMMs run
+on the MXU; XLA fuses the gather + accumulate. This is the TPU-native
+equivalent of MinkowskiEngine's C++/CUDA kernel-map convolution used
+throughout the reference model (/root/reference/model/resunet.py:38-171).
+
+A Pallas fused kernel (pallas_conv.py) replaces the scan on TPU for the hot
+shapes; this module is the reference implementation and the grad path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,
+                precision=None) -> jax.Array:
+    """Sparse convolution via gather + GEMM.
+
+    Args:
+      feats: float[N_in, Cin] — input features (padded rows MUST be zero).
+      weights: float[K, Cin, Cout].
+      kmap: int32[K, N_out] — gather table, -1 for absent inputs.
+      precision: matmul precision. Defaults to HIGHEST for float32 inputs
+        (full-precision MXU passes) and None (native) otherwise — the fast
+        training path feeds bfloat16 features explicitly.
+
+    Returns float[N_out, Cout]; padded output rows are zero (all their map
+    entries are -1).
+    """
+    n_in, cin = feats.shape
+    k, _, cout = weights.shape
+    if precision is None and feats.dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+    # Route absent inputs to a guaranteed-zero row appended at the end.
+    xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    idx = jnp.where(kmap < 0, n_in, kmap)
+
+    def body(acc, kw):
+        idx_k, w_k = kw
+        g = xp[idx_k]
+        return acc + jnp.dot(g, w_k.astype(feats.dtype),
+                             preferred_element_type=acc.dtype,
+                             precision=precision), None
+
+    acc0 = jnp.zeros((kmap.shape[1], cout), jnp.promote_types(feats.dtype,
+                                                              jnp.float32))
+    out, _ = jax.lax.scan(body, acc0, (idx, weights))
+    return out.astype(feats.dtype)
+
+
+def masked_mean_var(feats: jax.Array, mask: jax.Array):
+    """Mean/biased-variance per channel over valid rows only.
+
+    Replaces BatchNorm statistics over ME sparse tensors (torch
+    BatchNorm1d over the feature matrix). Padded rows must not pollute the
+    statistics, hence the explicit mask.
+    """
+    m = mask.astype(feats.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(feats * m, axis=0) / cnt
+    var = jnp.sum(jnp.square(feats - mean) * m, axis=0) / cnt
+    return mean, var, cnt
+
+
+def masked_instance_mean_var(feats: jax.Array, mask: jax.Array,
+                             batch_idx: jax.Array, num_items: int):
+    """Per-batch-item mean/variance (ME MinkowskiInstanceNorm equivalent).
+
+    batch_idx: int32[N] cloud index per voxel (any value >= num_items for
+    padding). Returns (mean[N,C], var[N,C]) broadcast back per row.
+    """
+    m = mask.astype(feats.dtype)
+    seg = jnp.where(mask, batch_idx, num_items)
+    cnt = jax.ops.segment_sum(m, seg, num_segments=num_items + 1)
+    cnt = jnp.maximum(cnt, 1.0)[:, None]
+    s1 = jax.ops.segment_sum(feats * m[:, None], seg,
+                             num_segments=num_items + 1)
+    mean = s1 / cnt
+    d = feats - mean[jnp.minimum(seg, num_items)]
+    s2 = jax.ops.segment_sum(jnp.square(d) * m[:, None], seg,
+                             num_segments=num_items + 1)
+    var = s2 / cnt
+    row = jnp.minimum(seg, num_items)
+    return mean[row], var[row]
+
+
+def l2_normalize(feats: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-wise L2 normalization (reference model/resunet.py:226-230)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(feats), axis=1, keepdims=True))
+    return feats / jnp.maximum(n, eps)
+
+
+def apply_mask(feats: jax.Array, mask: jax.Array) -> jax.Array:
+    """Zero out padded rows (needed after any op that adds a bias)."""
+    return feats * mask.astype(feats.dtype)[:, None]

@@ -1,0 +1,93 @@
+"""Core pytree types for the TPU-native sparse-voxel engine.
+
+The reference (liuQuan98/GCL) represents sparse voxel tensors with
+MinkowskiEngine's ``ME.SparseTensor`` (dynamic-shape C++/CUDA hash maps,
+see /root/reference/lib/trainer.py:243-251). On TPU every program must be
+static-shape, so we use fixed-capacity padded arrays plus validity masks.
+
+All structures here are registered pytrees and flow freely through jit /
+grad / shard_map.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel batch index marking padded (invalid) voxel rows. Sorts after all
+# real batch indices, so padding always lands at the tail of a key sort.
+INVALID_BATCH = jnp.int32(0x000FFFFF)  # 2**20 - 1
+
+
+class SparseBatch(NamedTuple):
+    """A batch of sparse voxel tensors, fixed capacity.
+
+    Equivalent of ``ME.SparseTensor`` built by ``ME.utils.sparse_collate``
+    (reference lib/colocation_data_loader.py:446): each cloud in the batch
+    is a distinct batch index in ``coords[:, 0]``.
+
+    Attributes:
+      coords: int32[N_cap, 4] — (batch, x, y, z) integer voxel coordinates.
+        Padded rows have batch == INVALID_BATCH.
+      feats:  float[N_cap, C] — per-voxel features. Padded rows are zero.
+      mask:   bool[N_cap]     — True for valid rows.
+    """
+
+    coords: jax.Array
+    feats: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def num_valid(self) -> jax.Array:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def replace_feats(self, feats: jax.Array) -> "SparseBatch":
+        return SparseBatch(self.coords, feats, self.mask)
+
+
+class LevelCoords(NamedTuple):
+    """Voxel coordinates at one stride level of the U-Net hierarchy.
+
+    ``coords`` are in units of level-0 voxels and are exact multiples of
+    ``stride`` (matching MinkowskiEngine tensor-stride semantics used by the
+    reference model, /root/reference/model/resunet.py:38-45).
+    """
+
+    coords: jax.Array  # int32[Ncap_l, 4]
+    mask: jax.Array  # bool[Ncap_l]
+    # Sorted composite keys + permutation for O(log N) coordinate lookup.
+    key_hi: jax.Array  # int32[Ncap_l] sorted
+    key_lo: jax.Array  # int32[Ncap_l] sorted
+    perm: jax.Array  # int32[Ncap_l]: row in `coords` for each sorted key
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+
+class SparseGraph(NamedTuple):
+    """The full static geometry of one U-Net forward pass.
+
+    Built once per batch from level-0 coordinates; the model's feature
+    compute is then pure gathers + GEMMs with no dynamic shapes. This
+    replaces MinkowskiEngine's coordinate manager + kernel-map machinery.
+
+    Attributes:
+      levels: dict mapping stride (int, static pytree key) -> LevelCoords.
+      kmaps: dict mapping map-key (str) -> int32[K, N_out_cap] gather
+        indices. kmaps[key][k, i] is the row in the *input* level's coords
+        holding the voxel at ``out_coords[i] + offset_k``, or -1 if absent.
+    """
+
+    levels: dict
+    kmaps: dict
+
+
+def map_key(in_stride: int, out_stride: int, kernel_size: int, dilation: int) -> str:
+    """Canonical name for a kernel map between two stride levels."""
+    return f"s{in_stride}->s{out_stride}/k{kernel_size}d{dilation}"

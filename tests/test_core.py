@@ -1,0 +1,234 @@
+"""Core sparse engine tests: voxelizer, kernel maps, sparse conv.
+
+Oracles are straightforward numpy/dict implementations (the reference has
+no tests at all — SURVEY.md §4 — so these define the framework's own
+correctness contract: quantization parity with ME.utils.sparse_quantize
+semantics, kernel maps vs a dict lookup, sparse conv vs dense conv).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcl_tpu.core import (ConvSpec, INVALID_BATCH, build_graph,
+                          default_level_caps, kernel_offsets, l2_normalize,
+                          masked_mean_var, sparse_conv, voxelize_points,
+                          representative_xyz)
+
+
+def _np_voxelize(points, voxel_size):
+    """Oracle: unique floor(p/vs) per cloud, first occurrence kept."""
+    coords = np.floor(points / voxel_size).astype(np.int32)
+    seen = {}
+    for i, c in enumerate(map(tuple, coords)):
+        if c not in seen:
+            seen[c] = i
+    return seen
+
+
+class TestVoxelize:
+    def test_unique_and_representatives(self, rng):
+        B, P = 3, 500
+        pts = rng.randn(B, P, 3).astype(np.float32) * 5.0
+        mask = np.ones((B, P), bool)
+        mask[1, 400:] = False
+        batch, rep = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
+                                     0.7, n_cap=2048)
+        batch, rep = jax.device_get((batch, rep))
+
+        for b in range(B):
+            oracle = _np_voxelize(pts[b][mask[b]], 0.7)
+            got_rows = np.where((batch.coords[:, 0] == b) & batch.mask)[0]
+            got = {tuple(batch.coords[r, 1:4]) for r in got_rows}
+            assert got == set(oracle.keys())
+            # representative point falls inside its voxel
+            for r in got_rows:
+                cb, pi = rep[r]
+                assert cb == b
+                c = np.floor(pts[b, pi] / 0.7).astype(np.int32)
+                assert tuple(c) == tuple(batch.coords[r, 1:4])
+
+    def test_padding_is_clean(self, rng):
+        pts = rng.randn(1, 100, 3).astype(np.float32)
+        mask = np.ones((1, 100), bool)
+        batch, _ = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
+                                   0.5, n_cap=512)
+        batch = jax.device_get(batch)
+        pad = ~batch.mask
+        assert np.all(batch.coords[pad, 0] == int(INVALID_BATCH))
+        assert np.all(batch.feats[pad] == 0)
+        assert np.all(batch.feats[batch.mask] == 1.0)
+
+    def test_capacity_overflow_drops(self, rng):
+        pts = (rng.rand(1, 1000, 3).astype(np.float32) * 100)
+        mask = np.ones((1, 1000), bool)
+        batch, _ = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
+                                   0.1, n_cap=64)
+        batch = jax.device_get(batch)
+        assert batch.mask.sum() == 64  # full, no crash
+
+    def test_representative_xyz(self, rng):
+        pts = rng.randn(2, 200, 3).astype(np.float32)
+        mask = np.ones((2, 200), bool)
+        batch, rep = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
+                                     0.4, n_cap=512)
+        xyz = np.asarray(representative_xyz(jnp.asarray(pts), rep, batch.mask))
+        m = np.asarray(batch.mask)
+        c = np.floor(xyz[m] / 0.4).astype(np.int32)
+        assert np.array_equal(c, np.asarray(batch.coords)[m][:, 1:4])
+
+
+def _oracle_kmap(out_coords, in_coords, offsets):
+    table = {tuple(c): i for i, c in enumerate(in_coords)}
+    K, N = len(offsets), len(out_coords)
+    km = np.full((K, N), -1, np.int64)
+    for k, off in enumerate(offsets):
+        for i, c in enumerate(out_coords):
+            q = (c[0], c[1] + off[0], c[2] + off[1], c[3] + off[2])
+            km[k, i] = table.get(q, -1)
+    return km
+
+
+class TestKernelMaps:
+    def _random_batch(self, rng, n=300, cap=512, span=12):
+        coords = rng.randint(-span, span, size=(n, 3))
+        b = rng.randint(0, 3, size=(n, 1))
+        coords = np.unique(np.concatenate([b, coords], 1), axis=0)
+        n = len(coords)
+        pad = np.full((cap - n, 4), -1, np.int32)
+        pad[:, 0] = int(INVALID_BATCH)
+        all_c = np.concatenate([coords.astype(np.int32), pad])
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        return all_c, mask, coords
+
+    def test_self_map_matches_oracle(self, rng):
+        all_c, mask, coords = self._random_batch(rng)
+        spec = ConvSpec("c", 1, 1, 3)
+        g = build_graph(jnp.asarray(all_c), jnp.asarray(mask), [spec],
+                        {1: all_c.shape[0]})
+        km = np.asarray(g.kmaps[spec.key])
+        oracle = _oracle_kmap(all_c[mask], all_c[mask],
+                              kernel_offsets(3))
+        assert np.array_equal(km[:, mask], oracle)
+        assert np.all(km[:, ~mask] == -1)
+
+    def test_downsample_levels_and_strided_map(self, rng):
+        all_c, mask, coords = self._random_batch(rng)
+        specs = [ConvSpec("down", 1, 2, 3), ConvSpec("up", 2, 1, 3),
+                 ConvSpec("self2", 2, 2, 3)]
+        caps = {1: all_c.shape[0], 2: all_c.shape[0]}
+        g = build_graph(jnp.asarray(all_c), jnp.asarray(mask), specs, caps)
+
+        # Level-2 coords = unique floor(c/2)*2
+        l2 = jax.device_get(g.levels[2])
+        got = {tuple(c) for c in l2.coords[l2.mask]}
+        want = {(c[0],) + tuple((np.floor_divide(c[1:], 2) * 2))
+                for c in coords}
+        assert got == want
+
+        # Strided down map: out at L2, offsets in L1 units
+        l2_valid = l2.coords[l2.mask]
+        oracle = _oracle_kmap(l2.coords, all_c[mask], kernel_offsets(3))
+        km = np.asarray(g.kmaps[specs[0].key])
+        assert np.array_equal(km, oracle)
+
+        # Transpose (up) map: out at L1, offsets in L1 units, lookup in L2
+        lut_in = l2.coords.copy()
+        lut_in[~l2.mask] = np.array([1 << 30, 0, 0, 0])
+        oracle_up = _oracle_kmap(all_c, lut_in, kernel_offsets(3))
+        oracle_up[:, ~mask] = -1
+        km_up = np.asarray(g.kmaps[specs[1].key])
+        assert np.array_equal(km_up, oracle_up)
+
+        # Self map at L2: offsets scaled by stride 2
+        oracle_s2 = _oracle_kmap(lut_in, lut_in, kernel_offsets(3) * 2)
+        oracle_s2[:, ~l2.mask] = -1
+        km_s2 = np.asarray(g.kmaps[specs[2].key])
+        assert np.array_equal(km_s2, oracle_s2)
+
+    def test_dilation(self, rng):
+        all_c, mask, coords = self._random_batch(rng)
+        spec = ConvSpec("d", 1, 1, 3, dilation=2)
+        g = build_graph(jnp.asarray(all_c), jnp.asarray(mask), [spec],
+                        {1: all_c.shape[0]})
+        oracle = _oracle_kmap(all_c[mask], all_c[mask],
+                              kernel_offsets(3) * 2)
+        km = np.asarray(g.kmaps[spec.key])
+        assert np.array_equal(km[:, mask], oracle)
+
+
+class TestSparseConv:
+    def test_matches_dense_conv(self, rng):
+        """Sparse conv == dense 3D conv evaluated at occupied sites."""
+        span, cin, cout, k = 6, 4, 8, 3
+        dense = np.zeros((span, span, span, cin), np.float32)
+        occ = rng.rand(span, span, span) < 0.3
+        occ[0, 0, 0] = True
+        dense[occ] = rng.randn(occ.sum(), cin).astype(np.float32)
+
+        idxs = np.argwhere(occ).astype(np.int32)
+        n = len(idxs)
+        cap = 128
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = idxs
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        feats = np.zeros((cap, cin), np.float32)
+        feats[:n] = dense[occ]
+
+        spec = ConvSpec("c", 1, 1, k)
+        g = build_graph(jnp.asarray(coords), jnp.asarray(mask), [spec],
+                        {1: cap})
+        w = rng.randn(k ** 3, cin, cout).astype(np.float32) * 0.1
+        out = np.asarray(sparse_conv(jnp.asarray(feats), jnp.asarray(w),
+                                     g.kmaps[spec.key]))
+
+        # dense oracle: out[p] = sum_off dense[p+off] @ w[off], zeros outside
+        offs = kernel_offsets(k)
+        for i in range(n):
+            acc = np.zeros(cout, np.float32)
+            for kk, off in enumerate(offs):
+                q = idxs[i] + off
+                if np.all(q >= 0) and np.all(q < span) and occ[tuple(q)]:
+                    acc += dense[tuple(q)] @ w[kk]
+            np.testing.assert_allclose(out[i], acc, rtol=1e-4, atol=1e-5)
+        assert np.all(out[n:] == 0)
+
+    def test_grad_flows(self, rng):
+        n, cin, cout = 32, 4, 4
+        coords = np.zeros((n, 4), np.int32)
+        coords[:, 1] = np.arange(n)
+        mask = np.ones(n, bool)
+        spec = ConvSpec("c", 1, 1, 3)
+        g = build_graph(jnp.asarray(coords), jnp.asarray(mask), [spec],
+                        {1: n})
+        feats = jnp.asarray(rng.randn(n, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+
+        def loss(w, f):
+            return jnp.sum(sparse_conv(f, w, g.kmaps[spec.key]) ** 2)
+
+        gw, gf = jax.grad(loss, argnums=(0, 1))(w, feats)
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.abs(np.asarray(gf)).sum() > 0
+
+
+class TestMaskedStats:
+    def test_mean_var_ignores_padding(self, rng):
+        f = rng.randn(100, 8).astype(np.float32)
+        m = np.zeros(100, bool)
+        m[:60] = True
+        f[~m] = 1e6  # poison padding
+        mean, var, cnt = masked_mean_var(jnp.asarray(f), jnp.asarray(m))
+        np.testing.assert_allclose(np.asarray(mean), f[:60].mean(0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(var), f[:60].var(0), rtol=1e-4)
+        assert int(cnt) == 60
+
+    def test_l2_normalize(self, rng):
+        f = rng.randn(50, 32).astype(np.float32)
+        out = np.asarray(l2_normalize(jnp.asarray(f)))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                                   np.ones(50), rtol=1e-5)
