@@ -1,0 +1,111 @@
+"""Shared model building blocks: sparse conv module + norm factory.
+
+Mirrors the reference's model/common.py:4-10 norm factory and wraps the
+core gather-GEMM convolution as a flax module. Submodule names follow the
+reference state_dict layout (conv1/norm1/...) so torch checkpoints map 1:1.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.kernel_maps import ConvSpec
+from ..core.sparse_ops import (masked_instance_mean_var, masked_mean_var,
+                               sparse_conv)
+from ..core.types import SparseGraph
+
+# torch kaiming_uniform(a=sqrt(5)) over fan_in = K^3 * Cin — the default
+# init of ME.MinkowskiConvolution's underlying parameter.
+conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class SparseConv(nn.Module):
+    """Sparse (transpose) convolution over a prebuilt kernel map.
+
+    1x1x1 same-level convolutions collapse to a plain matmul (no map).
+    """
+
+    in_ch: int
+    out_ch: int
+    spec: ConvSpec
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: SparseGraph) -> jax.Array:
+        if self.spec.is_identity_map:
+            w = self.param("kernel", conv_init, (self.in_ch, self.out_ch))
+            y = jnp.dot(x, w.astype(x.dtype),
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if x.dtype == jnp.float32 else None))
+        else:
+            w = self.param("kernel", conv_init,
+                           (self.spec.kernel_size ** 3, self.in_ch,
+                            self.out_ch))
+            y = sparse_conv(x, w, graph.kmaps[self.spec.key])
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid rows of a padded sparse tensor.
+
+    Semantics of torch BatchNorm1d as used by ME.MinkowskiBatchNorm
+    (reference model/common.py:4-10): biased variance for normalization,
+    unbiased for the running-average update, running = (1-m)*running +
+    m*batch with m = bn_momentum (0.05 in the GCL configs, config.py:98).
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, batch_idx, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if train:
+            mean, var, cnt = masked_mean_var(x.astype(jnp.float32), mask)
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-cloud (batch-item) normalization — ME.MinkowskiInstanceNorm."""
+
+    features: int
+    num_items: int = 64
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, batch_idx, train: bool):
+        mean, var = masked_instance_mean_var(
+            x.astype(jnp.float32), mask, batch_idx, self.num_items)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return y.astype(x.dtype)
+
+
+def get_norm(norm_type: str, features: int, bn_momentum: float = 0.1,
+             num_items: int = 64, name: Optional[str] = None) -> nn.Module:
+    """'BN' -> MaskedBatchNorm, 'IN' -> MaskedInstanceNorm."""
+    if norm_type == "BN":
+        return MaskedBatchNorm(features, momentum=bn_momentum, name=name)
+    if norm_type == "IN":
+        return MaskedInstanceNorm(features, num_items=num_items, name=name)
+    raise ValueError(f"Type {norm_type}, not defined")
