@@ -91,3 +91,34 @@ class SparseGraph(NamedTuple):
 def map_key(in_stride: int, out_stride: int, kernel_size: int, dilation: int) -> str:
     """Canonical name for a kernel map between two stride levels."""
     return f"s{in_stride}->s{out_stride}/k{kernel_size}d{dilation}"
+
+
+class ColocationGroups(NamedTuple):
+    """Fixed-capacity colocation groups (GCL positive clusters).
+
+    Static-shape equivalent of the reference's ragged (group, index,
+    finest_flag) triple built by get_matching_indices_colocation
+    (util/pointcloud.py:69-132). One group slot per center voxel; invalid
+    slots are masked rather than dropped.
+
+    Attributes:
+      member_idx: int32[G, Kc] — global voxel rows of group members
+        (center-cloud hits first, then per-neighbor-cloud hits); -1 pad.
+      member_mask: bool[G, Kc].
+      finest_pos: int32[G] — column of the finest member (member closest
+        to its own LiDAR origin; 0 = the center voxel itself).
+      valid: bool[G] — group exists (center voxel valid and has at least
+        one cross-cloud hit).
+      anchor_xyz: float32[G, 3] — coordinates of the first member (used by
+        the circle loss's safe-radius mask; reference passes integer voxel
+        coords, lib/colocation_trainer.py:858).
+      anchor_item: int32[G] — batch-sample index of the group (for the
+        circle loss's in-batch block-diagonal mask).
+    """
+
+    member_idx: jax.Array
+    member_mask: jax.Array
+    finest_pos: jax.Array
+    valid: jax.Array
+    anchor_xyz: jax.Array
+    anchor_item: jax.Array
