@@ -1,0 +1,46 @@
+"""Data layer: host samplers + device pipeline + loader dispatch."""
+from .colocation import ColocationKittiDataset, ColocationNuscenesDataset
+from .device_pipeline import (VoxelizedClouds, batch_colocation_groups,
+                              build_colocation_groups,
+                              build_correspondences, radius_knn,
+                              transform_points, voxelize_per_cloud)
+from .loader import DataLoader, collate_stack
+from .pairs import PairComplementKittiDataset, PairComplementNuscenesDataset
+from .transforms import Compose, Jitter, sample_random_trans
+
+ALL_DATASETS = {
+    d.__name__: d for d in (
+        ColocationKittiDataset, ColocationNuscenesDataset,
+        PairComplementKittiDataset, PairComplementNuscenesDataset)
+}
+
+
+def make_data_loader(config, phase, batch_size, num_threads=0, shuffle=None):
+    """Loader dispatch with the reference's selection rules
+    (lib/colocation_data_loader.py:709-757): the colocation train dataset
+    comes from config.train_dataset; val/test use the pair dataset from
+    config.dataset; train phase shuffles and drops the last batch.
+    """
+    assert phase in ("train", "val", "test")
+    if shuffle is None:
+        shuffle = phase != "test"
+    if phase == "train":
+        name = getattr(config, "train_dataset", config.dataset)
+        use_random_rotation = config.use_random_rotation
+        use_random_scale = config.use_random_scale
+    else:
+        name = config.dataset
+        use_random_rotation = False
+        use_random_scale = False
+    if name not in ALL_DATASETS:
+        raise ValueError(f"unknown dataset {name}")
+    dataset = ALL_DATASETS[name](
+        phase,
+        transform=None,
+        random_rotation=use_random_rotation,
+        random_scale=use_random_scale,
+        manual_seed=phase != "train",
+        config=config)
+    return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
+                      num_workers=num_threads,
+                      drop_last=phase == "train")

@@ -1,0 +1,175 @@
+"""Host data pipeline tests on a generated synthetic mini-KITTI."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcl_tpu.config import default_config
+from gcl_tpu.data import (ColocationKittiDataset, DataLoader,
+                          PairComplementKittiDataset,
+                          batch_colocation_groups, build_correspondences,
+                          voxelize_per_cloud)
+from gcl_tpu.data.colocation import apply_transform
+from gcl_tpu.data.synthetic import generate_synthetic_kitti, write_split_files
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    generate_synthetic_kitti(str(root), n_drives=1, n_frames=50, step=3.0)
+    write_split_files(str(root / "config"), 1)
+    return root
+
+
+def make_cfg(root, **kw):
+    cfg = default_config(
+        kitti_root=str(root), voxel_size=0.3, min_dist=3, max_dist=18,
+        num_neighborhood=4, point_capacity=8192, voxel_capacity=4096,
+        pair_min_dist=3, pair_max_dist=10, complement_pair_dist=3,
+        num_complement_one_side=2, use_old_pose=False,
+        use_random_rotation=True, use_random_scale=True)
+    cfg.update(kw)
+    return cfg
+
+
+def patch_splits(ds_cls, root):
+    ds_cls.DATA_FILES = {
+        p: os.path.join(str(root), "config", f"{p}_kitti.txt")
+        for p in ("train", "val", "test")}
+
+
+class TestColocationDataset:
+    def test_index_and_sample(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(ColocationKittiDataset, synth_root)
+        ds = ColocationKittiDataset("train", config=cfg)
+        assert len(ds) > 0
+        s = ds[0]
+        c = cfg.num_neighborhood + 1
+        assert s["points"].shape == (c, cfg.point_capacity, 3)
+        assert s["pmask"].shape == (c, cfg.point_capacity)
+        assert s["transforms"].shape == (c, 4, 4)
+        np.testing.assert_allclose(s["transforms"][0], np.eye(4))
+        # every cloud has real points
+        assert s["pmask"].sum(axis=1).min() > 100
+
+    def test_transforms_align_clouds(self, synth_root):
+        """GT transforms must map neighbor clouds onto the center: the
+        median NN distance between the aligned neighbor and the center
+        cloud should be far below the scan spacing."""
+        cfg = make_cfg(synth_root)
+        patch_splits(ColocationKittiDataset, synth_root)
+        ds = ColocationKittiDataset("train", config=cfg)
+        s = ds[0]
+        center = s["points"][0][s["pmask"][0]]
+        nghb = s["points"][1][s["pmask"][1]]
+        aligned = apply_transform(nghb, s["transforms"][1])
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(center).query(aligned[::10])
+        assert np.median(d) < 1.0
+
+    def test_device_flow_groups(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(ColocationKittiDataset, synth_root)
+        ds = ColocationKittiDataset("train", config=cfg)
+        loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
+        batch = next(iter(loader))
+        vox = voxelize_per_cloud(jnp.asarray(batch["points"]).reshape(
+            -1, cfg.point_capacity, 3),
+            jnp.asarray(batch["pmask"]).reshape(-1, cfg.point_capacity),
+            cfg.voxel_size, cfg.voxel_capacity)
+        b, c = batch["points"].shape[:2]
+        vox_b = jax.tree_util.tree_map(
+            lambda x: x.reshape((b, c) + x.shape[1:]), vox)
+        groups = batch_colocation_groups(
+            vox_b, jnp.asarray(batch["transforms"]), cfg.voxel_size,
+            float(batch["search_radius"].max()), k=cfg.group_k)
+        g = jax.device_get(groups)
+        assert g.valid.sum() > 50  # plenty of colocation groups
+        # finest member of a valid group is a real member
+        vi = np.where(g.valid)[0][:50]
+        for i in vi:
+            col = g.finest_pos[i]
+            assert g.member_mask[i, col]
+
+
+class TestPairDataset:
+    def test_test_phase_pairs(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("test", config=cfg,
+                                        random_rotation=False,
+                                        random_scale=False)
+        assert len(ds) > 0
+        s = ds[0]
+        # trans maps cloud0 onto cloud1 (after the built-in test-phase
+        # rotation augmentation): aligned NN distance small
+        p0 = s["points0"][s["pmask0"]]
+        p1 = s["points1"][s["pmask1"]]
+        aligned = apply_transform(p0, s["trans"])
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(p1).query(aligned[::10])
+        assert np.median(d) < 1.0
+
+    def test_train_phase_with_complement(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("train", config=cfg,
+                                        random_rotation=True,
+                                        random_scale=True)
+        assert len(ds) > 0
+        s = ds[0]
+        assert s["nghb_mask0"].sum() > 0
+        assert s["nghb_mask1"].sum() > 0
+
+    def test_icp_cache_roundtrip(self, synth_root):
+        cfg = make_cfg(synth_root, use_old_pose=True)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("test", config=cfg,
+                                        random_rotation=False,
+                                        random_scale=False)
+        drive, t0, t1 = ds.files[0][:3]
+        _ = ds[0]
+        key = "%d_%d_%d" % (drive, t0, t1)  # reference: drive_tnext_tcurr
+        assert os.path.exists(os.path.join(ds.icp_path, key + ".npy"))
+        # ICP-refined GT close to the true relative pose (synthetic poses
+        # are exact, so ICP should stay near the odometry prior)
+        from gcl_tpu.data import kitti_io
+        slam = kitti_io.slam_poses(str(synth_root) + "/dataset", drive)
+        want = np.linalg.inv(slam[t1]) @ slam[t0]
+        got = np.load(os.path.join(ds.icp_path, key + ".npy"))
+        assert np.abs(got[:3, 3] - want[:3, 3]).max() < 0.5
+
+    def test_device_correspondences(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("test", config=cfg,
+                                        random_rotation=False,
+                                        random_scale=False)
+        s = ds[0]
+        vox = voxelize_per_cloud(
+            jnp.stack([jnp.asarray(s["points0"]),
+                       jnp.asarray(s["points1"])]),
+            jnp.stack([jnp.asarray(s["pmask0"]), jnp.asarray(s["pmask1"])]),
+            cfg.voxel_size, cfg.voxel_capacity)
+        pairs, pm = build_correspondences(
+            vox.xyz[0], vox.mask[0], vox.xyz[1], vox.mask[1],
+            jnp.asarray(s["trans"]), float(s["search_radius"]),
+            k=cfg.corr_k)
+        assert int(np.asarray(pm).sum()) > 200
+
+
+class TestLoader:
+    def test_multiworker_order(self, synth_root):
+        cfg = make_cfg(synth_root)
+        patch_splits(ColocationKittiDataset, synth_root)
+        ds = ColocationKittiDataset("train", config=cfg)
+        l0 = DataLoader(ds, batch_size=2, shuffle=True, num_workers=0,
+                        seed=7)
+        l2 = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                        seed=7)
+        b0 = next(iter(l0))
+        b2 = next(iter(l2))
+        assert b0["meta"] == b2["meta"]  # same order, same indices
