@@ -164,17 +164,21 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                             chunk: int = 512) -> ColocationGroups:
     """Batched group construction: vox_b fields have a leading sample dim
     [B, C, Nv, ...]; returns groups with global rows into the flattened
-    [B*C*Nv] voxel array and anchor_item = sample index.
+    [B*C*Nv] voxel array and anchor_item = sample index. `search_radius`
+    may be a scalar or a per-sample [B] array (random scaling scales the
+    matching radius per sample, lib/colocation_data_loader.py:361-365).
 
     anchor_xyz follows the reference circle loss exactly: the *integer
     voxel coordinates* of the center voxel (lib/colocation_trainer.py:858
     passes sinput_C[:, 1:]).
     """
     b, c, nv, _ = vox_b.xyz.shape
+    radius_b = jnp.broadcast_to(jnp.asarray(search_radius,
+                                            jnp.float32), (b,))
 
     groups = jax.vmap(
-        lambda v, t: build_colocation_groups(v, t, search_radius, k, chunk)
-    )(vox_b, transforms_b)
+        lambda v, t, r: build_colocation_groups(v, t, r, k, chunk)
+    )(vox_b, transforms_b, radius_b)
 
     sample_off = (jnp.arange(b, dtype=jnp.int32) * (c * nv))[:, None, None]
     member_idx = jnp.where(groups.member_idx >= 0,

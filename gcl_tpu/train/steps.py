@@ -1,0 +1,361 @@
+"""Jitted train/validation steps.
+
+Each training step is ONE static-shape XLA program spanning the entire
+per-iteration pipeline the reference spreads across CPU DataLoader workers
+and the GPU (SURVEY.md §3.1): voxelize -> kernel maps -> sparse U-Net ->
+group/pair losses -> SGD update. Only scan loading, pose algebra and
+augmentation remain on the host.
+
+Optimizer semantics = torch.optim.SGD(lr, momentum, weight_decay) with
+dampening 0 and per-epoch ExponentialLR (reference lib/trainer.py:73-79):
+grad+wd -> momentum buffer -> params -= lr * buf; lr is fed in per step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.kernel_maps import build_graph
+from ..core.types import SparseBatch
+from ..data.device_pipeline import (batch_colocation_groups,
+                                    build_correspondences,
+                                    voxelize_per_cloud)
+from ..losses.gcl import (GCLLossConfig, finest_contrastive_loss,
+                          intra_group_pairs, location_circle_loss,
+                          location_contrastive_loss)
+from ..losses.pairs import (contrastive_loss, hardest_contrastive_loss,
+                            hardest_triplet_loss, triplet_loss)
+from ..reg.matching import find_nn
+from ..reg.robust import est_quad_linear_robust
+from ..losses.common import sample_without_replacement
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static knobs shared by the step builders."""
+
+    voxel_size: float
+    nv_cap: int
+    level_caps: Dict[int, int]
+    group_k: int = 5
+    corr_k: int = 8
+    pos_pair_cap: int = 1 << 20
+    knn_chunk: int = 1024
+    momentum: float = 0.8
+    weight_decay: float = 1e-4
+    jitter_sigma: float = 0.01
+    jitter_p: float = 0.95
+    compute_dtype: Any = jnp.float32
+
+
+def make_optimizer(cfg: StepConfig):
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+    )
+
+
+def _apply_sgd(tx, grads, opt_state, params, lr):
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params,
+                                    updates)
+    return params, opt_state
+
+
+def _jitter_feats(feats, mask, key, sigma, p, row_sel=None):
+    """Feature jitter (reference lib/transforms.py:24-34, applied to the
+    center cloud's occupancy features at load time)."""
+    k1, k2 = jax.random.split(key)
+    on = jax.random.uniform(k1) < p
+    noise = jax.random.normal(k2, feats.shape) * sigma
+    if row_sel is not None:
+        noise = noise * row_sel[:, None]
+    return jnp.where(on, feats + noise * mask[:, None], feats)
+
+
+# ----------------------------------------------------------------------
+# GCL (colocation) training step
+# ----------------------------------------------------------------------
+
+def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
+                        loss_cfg: GCLLossConfig, loss_kind: str,
+                        max_pos_cluster: int, max_hn_samples: int,
+                        pos_weight: float, finest_weight: float,
+                        neg_weight: float,
+                        jitter: bool = True) -> Tuple[Callable, Callable]:
+    """Build (init_fn, step_fn) for colocation training.
+
+    step_fn(state, lr, points[B,C,P,3], pmask, transforms[B,C,4,4],
+            radius[B]) -> (state, metrics dict)
+    """
+    tx = make_optimizer(step_cfg)
+    loss_fn_map = {
+        "finest": finest_contrastive_loss,
+        "location": location_contrastive_loss,
+        "circle": location_circle_loss,
+    }
+    group_loss = loss_fn_map[loss_kind]
+
+    def forward_geometry(points, pmask, transforms, radius):
+        b, c, p, _ = points.shape
+        vox = voxelize_per_cloud(points.reshape(b * c, p, 3),
+                                 pmask.reshape(b * c, p),
+                                 step_cfg.voxel_size, step_cfg.nv_cap)
+        vox_b = jax.tree_util.tree_map(
+            lambda x: x.reshape((b, c) + x.shape[1:]), vox)
+        groups = batch_colocation_groups(vox_b, transforms,
+                                         step_cfg.voxel_size, radius,
+                                         k=step_cfg.group_k,
+                                         chunk=step_cfg.knn_chunk)
+        flat = vox.flatten()
+        graph = build_graph(flat.coords, flat.mask, conv_specs,
+                            step_cfg.level_caps)
+        return flat, graph, groups, c
+
+    @jax.jit
+    def step_fn(state: TrainState, lr, points, pmask, transforms, radius):
+        rng, k_loss, k_jit = jax.random.split(state.rng, 3)
+        flat, graph, groups, c = forward_geometry(points, pmask,
+                                                  transforms, radius)
+        pos_pairs, ppmask = intra_group_pairs(groups, step_cfg.pos_pair_cap)
+        center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
+
+        def loss(params):
+            feats = flat.feats
+            if jitter:
+                feats = _jitter_feats(feats, flat.mask, k_jit,
+                                      step_cfg.jitter_sigma,
+                                      step_cfg.jitter_p, center_rows)
+            f_out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                graph, feats.astype(step_cfg.compute_dtype), train=True,
+                mutable=["batch_stats"])
+            out = group_loss(f_out.astype(jnp.float32), flat.mask, groups,
+                             pos_pairs, ppmask, k_loss, max_pos_cluster,
+                             max_hn_samples, loss_cfg)
+            total = (pos_weight * out.pos_loss
+                     + finest_weight * out.finest_loss
+                     + neg_weight * out.neg_loss)
+            return total, (out, mut["batch_stats"])
+
+        (total, (out, new_stats)), grads = jax.value_and_grad(
+            loss, has_aux=True)(state.params)
+        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
+                                       state.params, lr)
+        metrics = {"loss": total, "pos_loss": out.pos_loss,
+                   "finest_loss": out.finest_loss,
+                   "neg_loss": out.neg_loss,
+                   "num_valid_voxels": jnp.sum(flat.mask),
+                   "num_groups": jnp.sum(groups.valid)}
+        return TrainState(params, new_stats, opt_state, rng,
+                          state.step + 1), metrics
+
+    return tx, step_fn
+
+
+# ----------------------------------------------------------------------
+# FCGF (pair) training step
+# ----------------------------------------------------------------------
+
+def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
+                         trainer_kind: str, cfg: Dict
+                         ) -> Tuple[Any, Callable]:
+    """Pair-loss training (Hardest/Contrastive/Triplet trainers).
+
+    step_fn(state, lr, points0[B,P,3], pmask0, points1, pmask1,
+            trans[B,4,4], radius[B]) -> (state, metrics)
+    The two sides run through the model as separate batched sparse
+    tensors, like the reference's two forward passes
+    (lib/trainer.py:243-251).
+    """
+    tx = make_optimizer(step_cfg)
+
+    def side_forward(params, batch_stats, points, pmask, key, train=True):
+        b, p, _ = points.shape
+        vox = voxelize_per_cloud(points, pmask, step_cfg.voxel_size,
+                                 step_cfg.nv_cap)
+        flat = vox.flatten()
+        graph = build_graph(flat.coords, flat.mask, conv_specs,
+                            step_cfg.level_caps)
+        f, mut = model.apply({"params": params, "batch_stats": batch_stats},
+                             graph, flat.feats.astype(
+                                 step_cfg.compute_dtype),
+                             train=train, mutable=["batch_stats"])
+        return vox, flat, f.astype(jnp.float32), mut["batch_stats"]
+
+    def batch_correspondences(vox0, vox1, trans, radius):
+        """Per-sample GT correspondences with global row offsets."""
+        b, nv = vox0.mask.shape
+
+        def per_sample(args):
+            x0, m0, x1, m1, t, r = args
+            return build_correspondences(x0, m0, x1, m1, t, r,
+                                         k=step_cfg.corr_k,
+                                         chunk=step_cfg.knn_chunk)
+
+        pairs, pm = jax.vmap(
+            lambda x0, m0, x1, m1, t, r: build_correspondences(
+                x0, m0, x1, m1, t, r, k=step_cfg.corr_k,
+                chunk=step_cfg.knn_chunk))(
+            vox0.xyz, vox0.mask, vox1.xyz, vox1.mask, trans, radius)
+        off = (jnp.arange(b, dtype=jnp.int32) * nv)[:, None, None]
+        pairs = pairs + off
+        return pairs.reshape(-1, 2), pm.reshape(-1)
+
+    num_pos = cfg["num_pos_per_batch"] * cfg["batch_size"]
+    num_hn = cfg["num_hn_samples_per_batch"] * cfg["batch_size"]
+    t_pos = cfg["triplet_num_pos"] * cfg["batch_size"]
+    t_hn = cfg["triplet_num_hn"] * cfg["batch_size"]
+    t_rand = cfg["triplet_num_rand"] * cfg["batch_size"]
+    pos_thresh = cfg["pos_thresh"]
+    neg_thresh = cfg["neg_thresh"]
+    neg_weight = cfg["neg_weight"]
+
+    @jax.jit
+    def step_fn(state: TrainState, lr, points0, pmask0, points1, pmask1,
+                trans, radius):
+        rng, k_loss = jax.random.split(state.rng)
+
+        def loss(params):
+            vox0, flat0, f0, stats1 = side_forward(
+                params, state.batch_stats, points0, pmask0, k_loss)
+            vox1, flat1, f1, stats2 = side_forward(
+                params, stats1, points1, pmask1, k_loss)
+            pairs, pm = batch_correspondences(vox0, vox1, trans, radius)
+            if trainer_kind == "hardest_contrastive":
+                out = hardest_contrastive_loss(
+                    f0, f1, flat0.mask, flat1.mask, pairs, pm, k_loss,
+                    num_pos=num_pos, num_hn_samples=num_hn,
+                    pos_thresh=pos_thresh, neg_thresh=neg_thresh)
+                total = out.pos_loss + neg_weight * out.neg_loss
+                aux = {"pos_loss": out.pos_loss, "neg_loss": out.neg_loss}
+            elif trainer_kind == "contrastive":
+                out = contrastive_loss(
+                    f0, f1, flat0.mask, flat1.mask, pairs, pm, k_loss,
+                    neg_thresh=neg_thresh, num_neg=2 * num_pos)
+                total = out.pos_loss + neg_weight * out.neg_loss
+                aux = {"pos_loss": out.pos_loss, "neg_loss": out.neg_loss}
+            elif trainer_kind == "triplet":
+                out = triplet_loss(f0, f1, flat0.mask, flat1.mask, pairs,
+                                   pm, k_loss, num_pos=t_pos,
+                                   num_rand_triplet=t_rand,
+                                   neg_thresh=neg_thresh)
+                total = out.loss
+                aux = {"pos_loss": out.pos_dist, "neg_loss": out.neg_dist}
+            elif trainer_kind == "hardest_triplet":
+                out = hardest_triplet_loss(
+                    f0, f1, flat0.mask, flat1.mask, pairs, pm, k_loss,
+                    num_pos=t_pos, num_hn_samples=t_hn,
+                    num_rand_triplet=t_rand, neg_thresh=neg_thresh)
+                total = out.loss
+                aux = {"pos_loss": out.pos_dist, "neg_loss": out.neg_dist}
+            else:
+                raise ValueError(trainer_kind)
+            return total, (aux, stats2)
+
+        (total, (aux, new_stats)), grads = jax.value_and_grad(
+            loss, has_aux=True)(state.params)
+        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
+                                       state.params, lr)
+        metrics = {"loss": total, **aux}
+        return TrainState(params, new_stats, opt_state, rng,
+                          state.step + 1), metrics
+
+    return tx, step_fn
+
+
+# ----------------------------------------------------------------------
+# Validation step (pair registration quality — lib/trainer.py:307-384)
+# ----------------------------------------------------------------------
+
+def make_val_step(model, conv_specs, step_cfg: StepConfig,
+                  subsample: int = 5000, hit_ratio_thresh: float = 0.1):
+    @jax.jit
+    def val_step(params, batch_stats, key, points0, pmask0, points1,
+                 pmask1, trans):
+        def side(points, pmask):
+            vox = voxelize_per_cloud(points, pmask, step_cfg.voxel_size,
+                                     step_cfg.nv_cap)
+            flat = vox.flatten()
+            graph = build_graph(flat.coords, flat.mask, conv_specs,
+                                step_cfg.level_caps)
+            f = model.apply({"params": params, "batch_stats": batch_stats},
+                            graph, flat.feats.astype(step_cfg.compute_dtype),
+                            train=False)
+            return vox, flat, f.astype(jnp.float32)
+
+        vox0, flat0, f0 = side(points0, pmask0)
+        vox1, flat1, f1 = side(points1, pmask1)
+        b, nv = vox0.mask.shape
+
+        def per_sample(i, key):
+            m0 = jax.lax.dynamic_slice_in_dim(flat0.mask, i * nv, nv)
+            m1 = jax.lax.dynamic_slice_in_dim(flat1.mask, i * nv, nv)
+            sf0 = jax.lax.dynamic_slice_in_dim(f0, i * nv, nv)
+            sf1 = jax.lax.dynamic_slice_in_dim(f1, i * nv, nv)
+            x0 = vox0.xyz[i]
+            x1 = vox1.xyz[i]
+            k0, k1 = jax.random.split(key)
+            s0, v0 = sample_without_replacement(k0, m0, subsample)
+            s1, v1 = sample_without_replacement(k1, m1, subsample)
+            nn, _ = find_nn(sf0[s0], sf1[s1], v1, chunk=step_cfg.knn_chunk)
+            xc0 = x0[s0]
+            xc1 = x1[s1[nn]]
+            t_est = est_quad_linear_robust(xc0, xc1, mask=v0)
+            # metrics vs GT
+            t_gt = trans[i]
+            aligned = xc0 @ t_gt[:3, :3].T + t_gt[:3, 3]
+            d = jnp.sqrt(jnp.sum((aligned - xc1) ** 2, 1) + 1e-6)
+            hit = jnp.sum((d < hit_ratio_thresh) & v0) / jnp.maximum(
+                jnp.sum(v0), 1)
+            rte = jnp.linalg.norm(t_est[:3, 3] - t_gt[:3, 3])
+            cosv = (jnp.trace(t_est[:3, :3].T @ t_gt[:3, :3]) - 1) / 2
+            rre = jnp.degrees(jnp.arccos(jnp.clip(cosv, -1 + 1e-7,
+                                                  1 - 1e-7)))
+            # corr_dist loss (lib/metrics.py:13-19) on the subsample
+            est0 = xc0 @ t_est[:3, :3].T + t_est[:3, 3]
+            loss = jnp.sum(jnp.clip(jnp.sqrt(
+                jnp.sum((est0 - aligned) ** 2, 1)), None, 1.0) * v0) \
+                / jnp.maximum(jnp.sum(v0), 1)
+            return t_est, hit, rte, rre, loss
+
+        keys = jax.random.split(key, b)
+        t_est, hit, rte, rre, loss = jax.vmap(per_sample)(
+            jnp.arange(b), keys)
+        return {"t_est": t_est, "hit_ratio": hit, "rte": rte, "rre": rre,
+                "loss": loss}
+
+    return val_step
+
+
+def make_feature_extractor(model, conv_specs, step_cfg: StepConfig):
+    """Eval-mode features for one batch of clouds [B, P, 3] (demo /
+    test-time path, util/misc.py:58-130 equivalent)."""
+
+    @jax.jit
+    def extract(params, batch_stats, points, pmask):
+        vox = voxelize_per_cloud(points, pmask, step_cfg.voxel_size,
+                                 step_cfg.nv_cap)
+        flat = vox.flatten()
+        graph = build_graph(flat.coords, flat.mask, conv_specs,
+                            step_cfg.level_caps)
+        f = model.apply({"params": params, "batch_stats": batch_stats},
+                        graph, flat.feats.astype(step_cfg.compute_dtype),
+                        train=False)
+        b, nv = vox.mask.shape
+        return vox, f.astype(jnp.float32).reshape(b, nv, -1)
+
+    return extract

@@ -1,0 +1,118 @@
+"""End-to-end trainer tests on the synthetic mini-KITTI: one GCL epoch,
+one FCGF epoch, checkpoint save/load, validation metrics.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcl_tpu.config import default_config
+from gcl_tpu.data import make_data_loader
+from gcl_tpu.data.colocation import ColocationKittiDataset
+from gcl_tpu.data.pairs import PairComplementKittiDataset
+from gcl_tpu.data.synthetic import generate_synthetic_kitti, write_split_files
+from gcl_tpu.train import get_trainer, load_checkpoint
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    generate_synthetic_kitti(str(root), n_drives=1, n_frames=50, step=3.0)
+    write_split_files(str(root / "config"), 1)
+    for cls in (ColocationKittiDataset, PairComplementKittiDataset):
+        cls.DATA_FILES = {
+            p: os.path.join(str(root), "config", f"{p}_kitti.txt")
+            for p in ("train", "val", "test")}
+    return root
+
+
+def tiny_config(root, out_dir, **kw):
+    cfg = default_config(
+        kitti_root=str(root), out_dir=str(out_dir),
+        voxel_size=0.3, min_dist=3, max_dist=18, num_neighborhood=2,
+        point_capacity=4096, voxel_capacity=2048,
+        nghb_point_capacity=4096,
+        pair_min_dist=3, pair_max_dist=10, complement_pair_dist=3,
+        num_complement_one_side=2, use_old_pose=False,
+        batch_size=2, val_batch_size=1, max_epoch=1, val_max_iter=2,
+        num_pos_per_batch=64, num_hn_samples_per_batch=64,
+        model="ResUNetBN2C", conv1_kernel_size=3, model_n_out=16,
+        pos_pair_capacity=1 << 15, knn_chunk=256,
+        hit_ratio_thresh=0.3, stat_freq=1,
+        use_random_rotation=True, use_random_scale=True,
+        train_num_thread=0, val_num_thread=0)
+    cfg.update(kw)
+    return cfg
+
+
+def small_loaders(cfg, train=True):
+    tl = make_data_loader(cfg, "train", cfg.batch_size, num_threads=0)
+    vl = make_data_loader(cfg, "val", cfg.val_batch_size, num_threads=0)
+    # shrink datasets for test speed
+    tl.dataset.files = tl.dataset.files[:4]
+    vl.dataset.files = vl.dataset.files[:2]
+    return tl, vl
+
+
+class TestGCLTrainer:
+    def test_one_epoch_and_checkpoint(self, synth_env, tmp_path):
+        cfg = tiny_config(synth_env, tmp_path / "run",
+                          trainer="FinestContrastiveLossTrainer",
+                          finest_weight=1.0, block_finest_gradient=False)
+        tl, vl = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, vl)
+        p_before = jax.device_get(trainer.state.params)
+        trainer.train()
+        p_after = jax.device_get(trainer.state.params)
+        # parameters moved
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+        # checkpoints written with the reference's layout
+        assert os.path.exists(tmp_path / "run" / "checkpoint.pth")
+        assert os.path.exists(tmp_path / "run" / "config.json")
+        state = load_checkpoint(str(tmp_path / "run" / "checkpoint.pth"))
+        assert state["epoch"] == 1
+        assert "state_dict" in state and "optimizer" in state
+
+    def test_resume(self, synth_env, tmp_path):
+        cfg = tiny_config(synth_env, tmp_path / "run2",
+                          trainer="FinestContrastiveLossTrainer",
+                          max_epoch=1)
+        tl, vl = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        trainer.train()
+        ck = str(tmp_path / "run2" / "checkpoint.pth")
+        cfg2 = tiny_config(synth_env, tmp_path / "run2b",
+                           trainer="FinestContrastiveLossTrainer",
+                           max_epoch=1, resume=ck)
+        tl2, _ = small_loaders(cfg2)
+        trainer2 = get_trainer(cfg2.trainer)(cfg2, tl2, None)
+        a = jax.tree_util.tree_leaves(trainer.state.params)
+        b = jax.tree_util.tree_leaves(trainer2.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert trainer2.start_epoch == 1
+
+
+class TestFCGFTrainer:
+    def test_one_epoch(self, synth_env, tmp_path):
+        cfg = tiny_config(synth_env, tmp_path / "fcgf",
+                          trainer="HardestContrastiveLossTrainer",
+                          train_dataset="PairComplementKittiDataset")
+        tl, vl = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, vl)
+        trainer.train()
+        assert os.path.exists(tmp_path / "fcgf" / "checkpoint.pth")
+
+    def test_val_metrics_sane(self, synth_env, tmp_path):
+        cfg = tiny_config(synth_env, tmp_path / "val",
+                          trainer="HardestContrastiveLossTrainer",
+                          train_dataset="PairComplementKittiDataset")
+        tl, vl = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, vl)
+        out = trainer._valid_epoch()
+        for k in ("loss", "rte", "rre", "hit_ratio", "feat_match_ratio"):
+            assert k in out and np.isfinite(out[k])
