@@ -1,0 +1,83 @@
+"""Device mesh + data-parallel training over ICI.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.8); this
+module is new TPU-first design: a 1-D 'data' mesh, batch sharded by
+sample, gradients reduced with psum over ICI, parameters/optimizer state
+replicated. Each device runs the complete per-shard pipeline (voxelize ->
+kernel maps -> U-Net -> loss) locally via shard_map — the irregular
+sort/search geometry work never crosses chips; only gradients (and
+averaged BN statistics) ride the interconnect.
+
+Semantics vs single chip: hardest-negative pools and group subsampling are
+per-shard (each device mines negatives within its own samples); BatchNorm
+uses per-device statistics with the running averages psum-averaged —
+standard data-parallel practice.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..train.steps import TrainState, _apply_sgd, make_optimizer
+
+
+def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data"):
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def make_parallel_train_step(grad_fn: Callable, step_cfg, mesh: Mesh,
+                             axis_name: str = "data"
+                             ) -> Tuple[Callable, Callable]:
+    """Wrap a per-shard grad_fn into a pmean'd data-parallel step.
+
+    grad_fn(params, batch_stats, rng, *batch) -> (grads, stats, metrics)
+    where every array in *batch has a leading per-sample axis divisible by
+    the mesh size. Returns (tx, step_fn(state, lr, *batch)).
+    """
+    tx = make_optimizer(step_cfg)
+    n_dev = mesh.devices.size
+
+    def sharded_grads(params, batch_stats, rng, *batch):
+        # distinct RNG per device (fold in the device index)
+        idx = jax.lax.axis_index(axis_name)
+        rng = jax.random.fold_in(rng, idx)
+        grads, new_stats, metrics = grad_fn(params, batch_stats, rng,
+                                            *batch)
+        grads = jax.lax.pmean(grads, axis_name)
+        new_stats = jax.lax.pmean(new_stats, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        return grads, new_stats, metrics
+
+    def step_impl(state: TrainState, lr, *batch):
+        rng, k = jax.random.split(state.rng)
+        f = jax.shard_map(
+            sharded_grads, mesh=mesh,
+            in_specs=(P(), P(), P()) + tuple(P(axis_name) for _ in batch),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        grads, new_stats, metrics = f(state.params, state.batch_stats, k,
+                                      *batch)
+        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
+                                       state.params, lr)
+        return TrainState(params, new_stats, opt_state, rng,
+                          state.step + 1), metrics
+
+    step_fn = jax.jit(step_impl)
+    return tx, step_fn

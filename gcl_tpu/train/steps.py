@@ -90,18 +90,17 @@ def _jitter_feats(feats, mask, key, sigma, p, row_sel=None):
 # GCL (colocation) training step
 # ----------------------------------------------------------------------
 
-def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
-                        loss_cfg: GCLLossConfig, loss_kind: str,
-                        max_pos_cluster: int, max_hn_samples: int,
-                        pos_weight: float, finest_weight: float,
-                        neg_weight: float,
-                        jitter: bool = True) -> Tuple[Callable, Callable]:
-    """Build (init_fn, step_fn) for colocation training.
+def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
+                     loss_cfg: GCLLossConfig, loss_kind: str,
+                     max_pos_cluster: int, max_hn_samples: int,
+                     pos_weight: float, finest_weight: float,
+                     neg_weight: float, jitter: bool = True) -> Callable:
+    """grad_fn(params, batch_stats, rng, points[B,C,P,3], pmask,
+    transforms[B,C,4,4], radius[B]) -> (grads, new_stats, metrics).
 
-    step_fn(state, lr, points[B,C,P,3], pmask, transforms[B,C,4,4],
-            radius[B]) -> (state, metrics dict)
+    The building block shared by the single-chip step and the shard_map
+    data-parallel step (each device runs it on its batch shard).
     """
-    tx = make_optimizer(step_cfg)
     loss_fn_map = {
         "finest": finest_contrastive_loss,
         "location": location_contrastive_loss,
@@ -125,9 +124,9 @@ def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
                             step_cfg.level_caps)
         return flat, graph, groups, c
 
-    @jax.jit
-    def step_fn(state: TrainState, lr, points, pmask, transforms, radius):
-        rng, k_loss, k_jit = jax.random.split(state.rng, 3)
+    def grad_fn(params, batch_stats, rng, points, pmask, transforms,
+                radius):
+        k_loss, k_jit = jax.random.split(rng)
         flat, graph, groups, c = forward_geometry(points, pmask,
                                                   transforms, radius)
         pos_pairs, ppmask = intra_group_pairs(groups, step_cfg.pos_pair_cap)
@@ -140,7 +139,7 @@ def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
                                       step_cfg.jitter_sigma,
                                       step_cfg.jitter_p, center_rows)
             f_out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 graph, feats.astype(step_cfg.compute_dtype), train=True,
                 mutable=["batch_stats"])
             out = group_loss(f_out.astype(jnp.float32), flat.mask, groups,
@@ -152,14 +151,39 @@ def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
             return total, (out, mut["batch_stats"])
 
         (total, (out, new_stats)), grads = jax.value_and_grad(
-            loss, has_aux=True)(state.params)
-        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
-                                       state.params, lr)
+            loss, has_aux=True)(params)
         metrics = {"loss": total, "pos_loss": out.pos_loss,
                    "finest_loss": out.finest_loss,
                    "neg_loss": out.neg_loss,
-                   "num_valid_voxels": jnp.sum(flat.mask),
-                   "num_groups": jnp.sum(groups.valid)}
+                   "num_valid_voxels": jnp.sum(flat.mask).astype(
+                       jnp.float32),
+                   "num_groups": jnp.sum(groups.valid).astype(jnp.float32)}
+        return grads, new_stats, metrics
+
+    return grad_fn
+
+
+def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
+                        loss_cfg: GCLLossConfig, loss_kind: str,
+                        max_pos_cluster: int, max_hn_samples: int,
+                        pos_weight: float, finest_weight: float,
+                        neg_weight: float,
+                        jitter: bool = True) -> Tuple[Callable, Callable]:
+    """Single-chip colocation train step: (tx, step_fn)."""
+    tx = make_optimizer(step_cfg)
+    grad_fn = make_gcl_grad_fn(model, conv_specs, step_cfg, loss_cfg,
+                               loss_kind, max_pos_cluster, max_hn_samples,
+                               pos_weight, finest_weight, neg_weight,
+                               jitter)
+
+    @jax.jit
+    def step_fn(state: TrainState, lr, points, pmask, transforms, radius):
+        rng, k = jax.random.split(state.rng)
+        grads, new_stats, metrics = grad_fn(
+            state.params, state.batch_stats, k, points, pmask, transforms,
+            radius)
+        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
+                                       state.params, lr)
         return TrainState(params, new_stats, opt_state, rng,
                           state.step + 1), metrics
 
