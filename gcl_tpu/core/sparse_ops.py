@@ -22,28 +22,16 @@ import jax
 import jax.numpy as jnp
 
 
-def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,
-                precision=None) -> jax.Array:
-    """Sparse convolution via gather + GEMM.
+def _conv_precision(dtype):
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
-    Args:
-      feats: float[N_in, Cin] — input features (padded rows MUST be zero).
-      weights: float[K, Cin, Cout].
-      kmap: int32[K, N_out] — gather table, -1 for absent inputs.
-      precision: matmul precision. Defaults to HIGHEST for float32 inputs
-        (full-precision MXU passes) and None (native) otherwise — the fast
-        training path feeds bfloat16 features explicitly.
 
-    Returns float[N_out, Cout]; padded output rows are zero (all their map
-    entries are -1).
-    """
+def _conv_forward(feats, weights, idx):
+    """Scan of gathers + GEMMs; idx already routed (-1 -> n_in)."""
     n_in, cin = feats.shape
-    k, _, cout = weights.shape
-    if precision is None and feats.dtype == jnp.float32:
-        precision = jax.lax.Precision.HIGHEST
-    # Route absent inputs to a guaranteed-zero row appended at the end.
+    cout = weights.shape[-1]
+    precision = _conv_precision(feats.dtype)
     xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    idx = jnp.where(kmap < 0, n_in, kmap)
 
     def body(acc, kw):
         idx_k, w_k = kw
@@ -52,10 +40,69 @@ def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,
                              preferred_element_type=acc.dtype,
                              precision=precision), None
 
-    acc0 = jnp.zeros((kmap.shape[1], cout), jnp.promote_types(feats.dtype,
-                                                              jnp.float32))
+    acc0 = jnp.zeros((idx.shape[1], cout), jnp.promote_types(feats.dtype,
+                                                             jnp.float32))
     out, _ = jax.lax.scan(body, acc0, (idx, weights))
     return out.astype(feats.dtype)
+
+
+@jax.custom_vjp
+def _sparse_conv_core(feats, weights, idx):
+    return _conv_forward(feats, weights, idx)
+
+
+def _sparse_conv_fwd(feats, weights, idx):
+    # Residuals are just the inputs — gathers are recomputed in the
+    # backward pass. Without this, autodiff-of-scan stores the gathered
+    # [K, N, Cin] activations (O(K N C) HBM — observed 6.6 GB/conv on
+    # KITTI-scale batches).
+    return _conv_forward(feats, weights, idx), (feats, weights, idx)
+
+
+def _sparse_conv_bwd(res, g):
+    feats, weights, idx = res
+    n_in, cin = feats.shape
+    precision = _conv_precision(feats.dtype)
+    xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    g = g.astype(feats.dtype)
+
+    def body(dx, kw):
+        idx_k, w_k = kw
+        gathered = xp[idx_k]  # [N_out, Cin], recomputed
+        dw_k = jnp.dot(gathered.T, g, preferred_element_type=jnp.float32,
+                       precision=precision)
+        contrib = jnp.dot(g, w_k.astype(feats.dtype).T,
+                          preferred_element_type=feats.dtype,
+                          precision=precision)
+        dx = dx.at[idx_k].add(contrib)  # row n_in collects padding
+        return dx, dw_k
+
+    dx0 = jnp.zeros((n_in + 1, cin), feats.dtype)
+    dx, dw = jax.lax.scan(body, dx0, (idx, weights))
+    return dx[:n_in], dw.astype(weights.dtype), None
+
+
+_sparse_conv_core.defvjp(_sparse_conv_fwd, _sparse_conv_bwd)
+
+
+def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,
+                precision=None) -> jax.Array:
+    """Sparse convolution via gather + GEMM (custom VJP).
+
+    Args:
+      feats: float[N_in, Cin] — input features (padded rows MUST be zero).
+      weights: float[K, Cin, Cout].
+      kmap: int32[K, N_out] — gather table, -1 for absent inputs.
+      precision: unused (kept for API compat); float32 inputs always use
+        HIGHEST-precision MXU passes, bfloat16 uses native.
+
+    Returns float[N_out, Cout]; padded output rows are zero (all their map
+    entries are -1). Backward recomputes gathers (O(N C) memory) and
+    produces dX via scatter-add, dW via gathered-X^T @ g.
+    """
+    n_in = feats.shape[0]
+    idx = jnp.where(kmap < 0, n_in, kmap)
+    return _sparse_conv_core(feats, weights, idx)
 
 
 def masked_mean_var(feats: jax.Array, mask: jax.Array):
