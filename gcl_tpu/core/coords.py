@@ -106,6 +106,70 @@ def lookup(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
     return jnp.where(found, perm[pos_c], jnp.int32(-1))
 
 
+# ----------------------------------------------------------------------
+# Packed single-int32 keys (for the sort-join kernel-map builder)
+# ----------------------------------------------------------------------
+#
+# key = cloud << (bx+by+bz) | (x+2^(bx-1)) << (by+bz) | (y+..) << bz | (z+..)
+# Default bits (10, 10, 7): x,y in [-512, 511], z in [-64, 63] voxels per
+# level — at KITTI's 0.3 m voxels that is +-153 m horizontally and +-19 m
+# vertically. 5 remaining bits address up to 31 clouds per device batch
+# (cloud 31 is reserved for padding/out-of-range rows, which receive
+# unique never-matching keys). int32 wraparound for high cloud ids is
+# harmless: the join only needs injectivity and a total order.
+
+DEFAULT_KEY_BITS = (10, 10, 7)
+PAD_CLOUD = 31
+
+
+def pack_keys(coords: jax.Array, stride: int,
+              bits=DEFAULT_KEY_BITS) -> jax.Array:
+    """Injective int32 key for coords[N, 4] = (cloud, x, y, z).
+
+    xyz must be exact multiples of `stride`. Padded rows (cloud ==
+    INVALID_BATCH) and rows outside the per-axis ranges map into the
+    reserved PAD_CLOUD space keyed by row index (never matches a query).
+    """
+    bx, by, bz = bits
+    n = coords.shape[0]
+    c = coords[:, 0]
+    xyz = coords[:, 1:4] // stride
+    half = jnp.array([1 << (bx - 1), 1 << (by - 1), 1 << (bz - 1)],
+                     jnp.int32)
+    u = xyz + half[None, :]
+    in_range = jnp.all((u >= 0) & (u < (half * 2)[None, :]), axis=1)
+    valid = in_range & (c < PAD_CLOUD)
+    key = ((c << (bx + by + bz)) | (u[:, 0] << (by + bz))
+           | (u[:, 1] << bz) | u[:, 2])
+    pad_key = (jnp.int32(PAD_CLOUD) << (bx + by + bz)) + jnp.arange(
+        n, dtype=jnp.int32)
+    return jnp.where(valid, key, pad_key).astype(jnp.int32)
+
+
+def pack_query_keys(coords: jax.Array, offset: jax.Array, in_stride: int,
+                    bits=DEFAULT_KEY_BITS) -> jax.Array:
+    """Key of (coords.xyz + offset) at `in_stride`, or a never-matching
+    key when off-lattice / out of range / padding."""
+    bx, by, bz = bits
+    n = coords.shape[0]
+    c = coords[:, 0]
+    qxyz = coords[:, 1:4] + offset[None, :]
+    on_lattice = jnp.all(qxyz % in_stride == 0, axis=1)
+    xyz = qxyz // in_stride
+    half = jnp.array([1 << (bx - 1), 1 << (by - 1), 1 << (bz - 1)],
+                     jnp.int32)
+    u = xyz + half[None, :]
+    in_range = jnp.all((u >= 0) & (u < (half * 2)[None, :]), axis=1)
+    valid = in_range & (c < PAD_CLOUD) & on_lattice
+    key = ((c << (bx + by + bz)) | (u[:, 0] << (by + bz))
+           | (u[:, 1] << bz) | u[:, 2])
+    # PAD_CLOUD | (1<<26) prefix keeps padded queries distinct from
+    # padded-target keys too
+    pad_key = ((jnp.int32(PAD_CLOUD) << (bx + by + bz))
+               | jnp.int32(1 << 26)) + jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(valid, key, pad_key).astype(jnp.int32)
+
+
 def kernel_offsets(kernel_size: int) -> jnp.ndarray:
     """Integer offsets of a cubic kernel, ME HYPER_CUBE region.
 

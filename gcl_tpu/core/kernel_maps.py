@@ -97,6 +97,71 @@ def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
     return _index_level(out, out_mask, stride)
 
 
+def _build_kmap_sortjoin(out_level: LevelCoords, in_level: LevelCoords,
+                         in_stride: int, offsets: np.ndarray,
+                         key_bits=None) -> jax.Array:
+    """Sort-join kernel-map builder — the TPU-fast path.
+
+    Random-access binary search runs at XLA's gather speed (~50-90M
+    rows/s on v5e — hours of accumulated lookups per epoch). This builder
+    instead does ONE sequential-access sort per map:
+
+      1. pack every in-voxel and every (out-voxel + offset) query into a
+         single injective int32 key (coords.pack_keys);
+      2. sort [targets | queries] by (key, payload) with the payload's
+         top flag bit ordering targets before equal-key queries;
+      3. a last-valid associative scan carries each target's row to the
+         queries that follow it; a key-equality check confirms the match;
+      4. scatter matches back into the [K, N_out] gather table.
+
+    Sorts/scans/scatters stream at memory bandwidth — no random reads.
+    """
+    from .coords import pack_keys, pack_query_keys, DEFAULT_KEY_BITS
+
+    bits = key_bits or DEFAULT_KEY_BITS
+    n_in = in_level.coords.shape[0]
+    n_out = out_level.coords.shape[0]
+    k = offsets.shape[0]
+    assert k * n_out < (1 << 30), "query payload bits exhausted"
+
+    tkeys = pack_keys(in_level.coords, in_stride, bits)
+    off = jnp.asarray(offsets)
+    qkeys = jax.vmap(
+        lambda o: pack_query_keys(out_level.coords, o, in_stride, bits)
+    )(off).reshape(-1)  # [K * N_out]
+
+    all_keys = jnp.concatenate([tkeys, qkeys])
+    # payload: targets = row index (flag bit 30 clear -> sort first
+    # within equal keys); queries = flat query id | flag
+    payload = jnp.concatenate([
+        jnp.arange(n_in, dtype=jnp.int32),
+        jnp.arange(k * n_out, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    keys_s, pay_s = jax.lax.sort((all_keys, payload), num_keys=2)
+
+    is_target = (pay_s & (1 << 30)) == 0
+    tval = jnp.where(is_target, pay_s, -1)
+
+    # joint last-valid scan over (key, row) pairs: each position learns
+    # the most recent preceding target's key and row
+    def last_valid_pair(l, r):
+        kl, rl = l
+        kr, rr = r
+        take_r = rr >= 0
+        return jnp.where(take_r, kr, kl), jnp.where(take_r, rr, rl)
+
+    carry_key, carry_row = jax.lax.associative_scan(
+        last_valid_pair, (keys_s, tval))
+    match = (carry_key == keys_s) & ~is_target & (carry_row >= 0)
+    row = jnp.where(match, carry_row, -1)
+
+    qid = pay_s & jnp.int32((1 << 30) - 1)
+    slot = jnp.where(is_target, k * n_out, qid)  # targets -> dump slot
+    kmap_flat = jnp.full((k * n_out + 1,), -1, jnp.int32)
+    kmap_flat = kmap_flat.at[slot].set(row, mode="drop")
+    return kmap_flat[:k * n_out].reshape(k, n_out)
+
+
 def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
                 in_stride: int, offsets: np.ndarray) -> jax.Array:
     """Gather table: kmap[k, i] = row of in_level at out_coords[i]+off[k]."""
@@ -122,7 +187,9 @@ def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
 
 def build_graph(coords: jax.Array, mask: jax.Array,
                 specs: Sequence[ConvSpec],
-                level_caps: Dict[int, int]) -> SparseGraph:
+                level_caps: Dict[int, int],
+                method: str = "sortjoin",
+                key_bits=None) -> SparseGraph:
     """Build all stride levels + kernel maps needed by a conv plan.
 
     Args:
@@ -131,6 +198,10 @@ def build_graph(coords: jax.Array, mask: jax.Array,
       specs: the model's convolutions (duplicate geometry is deduped).
       level_caps: static dict stride -> capacity. Must contain every stride
         appearing in `specs`; stride 1 capacity must equal N0.
+      method: 'sortjoin' (default; streaming sorts, TPU-fast) or 'bsearch'
+        (vectorized binary search; reference implementation).
+      key_bits: (bx, by, bz) per-axis bit budget for sortjoin keys
+        (coords.DEFAULT_KEY_BITS when None).
 
     This function is jittable (specs/level_caps static via closure).
     """
@@ -147,9 +218,14 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         if sp.is_identity_map or sp.key in kmaps:
             continue
         offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
-        kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
-                                    levels[sp.in_stride],
-                                    sp.in_stride, offsets)
+        if method == "sortjoin":
+            kmaps[sp.key] = _build_kmap_sortjoin(
+                levels[sp.out_stride], levels[sp.in_stride], sp.in_stride,
+                offsets, key_bits)
+        else:
+            kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
+                                        levels[sp.in_stride],
+                                        sp.in_stride, offsets)
     return SparseGraph(levels=levels, kmaps=kmaps)
 
 
