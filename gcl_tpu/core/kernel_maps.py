@@ -22,6 +22,7 @@ The torch checkpoint importer flips transpose kernels accordingly.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Dict, Sequence, Tuple
 
@@ -213,20 +214,113 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         else:
             levels[s] = _downsample_level(coords, mask, s, level_caps[s])
 
-    kmaps: Dict[str, jax.Array] = {}
+    uniq: list = []
+    seen = set()
     for sp in specs:
-        if sp.is_identity_map or sp.key in kmaps:
+        if sp.is_identity_map or sp.key in seen:
             continue
-        offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
-        if method == "sortjoin":
-            kmaps[sp.key] = _build_kmap_sortjoin(
-                levels[sp.out_stride], levels[sp.in_stride], sp.in_stride,
-                offsets, key_bits)
-        else:
+        seen.add(sp.key)
+        uniq.append(sp)
+
+    kmaps: Dict[str, jax.Array] = {}
+    if method == "sortjoin":
+        kmaps = _build_all_kmaps_one_sort(levels, uniq, key_bits)
+    else:
+        for sp in uniq:
+            offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
             kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
                                         levels[sp.in_stride],
                                         sp.in_stride, offsets)
     return SparseGraph(levels=levels, kmaps=kmaps)
+
+
+def _build_all_kmaps_one_sort(levels: Dict[int, LevelCoords], specs,
+                              key_bits=None) -> Dict[str, jax.Array]:
+    """All kernel maps of the network in ONE sort-join.
+
+    One XLA sort instance instead of one per map — sorts dominate both
+    the runtime and (critically) the TPU compiler's memory footprint; a
+    12-sort graph program OOM-killed the compile helper. Rows carry
+    (map_id, packed key, payload); a last-valid associative scan over
+    (map_id, key, target-row) triples propagates target rows to equal-key
+    queries within the same map; one scatter materializes every gather
+    table, then the flat result is sliced per map.
+    """
+    from .coords import pack_keys, pack_query_keys, DEFAULT_KEY_BITS
+
+    bits = key_bits or DEFAULT_KEY_BITS
+    all_keys, all_mapid, all_payload = [], [], []
+    q_offsets = []  # (spec, start, k, n_out) for output slicing
+    q_total = 0
+    for m, sp in enumerate(specs):
+        out_l = levels[sp.out_stride]
+        in_l = levels[sp.in_stride]
+        offsets = jnp.asarray(kernel_offsets(sp.kernel_size)
+                              * sp.offset_scale)
+        k = offsets.shape[0]
+        n_out = out_l.coords.shape[0]
+        n_in = in_l.coords.shape[0]
+        tkeys = pack_keys(in_l.coords, sp.in_stride, bits)
+        qkeys = jax.vmap(
+            lambda o: pack_query_keys(out_l.coords, o, sp.in_stride, bits)
+        )(offsets).reshape(-1)
+        all_keys += [tkeys, qkeys]
+        all_mapid += [jnp.full((n_in,), m, jnp.int32),
+                      jnp.full((k * n_out,), m, jnp.int32)]
+        all_payload += [
+            jnp.arange(n_in, dtype=jnp.int32),
+            (q_total + jnp.arange(k * n_out, dtype=jnp.int32))
+            | jnp.int32(1 << 30),
+        ]
+        q_offsets.append((sp, q_total, k, n_out))
+        q_total += k * n_out
+    assert q_total < (1 << 30), "query payload bits exhausted"
+
+    keys = jnp.concatenate(all_keys)
+    mapid = jnp.concatenate(all_mapid)
+    payload = jnp.concatenate(all_payload)
+    # num_keys=3: (map, key, payload) — the payload flag bit orders
+    # targets before equal-key queries
+    mid_s, keys_s, pay_s = jax.lax.sort((mapid, keys, payload), num_keys=3)
+
+    is_target = (pay_s & (1 << 30)) == 0
+    tval = jnp.where(is_target, pay_s, -1)
+
+    # Bounded last-target propagation. Within one map an equal-key run
+    # holds at most one target plus <= K queries (each offset contributes
+    # at most one query with a given key), so the target reaches every
+    # query of its run after ceil(log2(K_max+1)) doubling passes. A full
+    # associative_scan would be unbounded-length-correct but its unrolled
+    # lowering blows up the TPU compiler at 1e8 rows.
+    k_max = max(kernel_offsets(sp.kernel_size).shape[0] for sp in specs)
+    passes = max(1, math.ceil(math.log2(k_max + 1)))
+    c_key, c_mid, c_row = keys_s, mid_s, tval
+
+    for p in range(passes):
+        shift = 1 << p
+        pk = jnp.concatenate([c_key[:shift], c_key[:-shift]])
+        pm = jnp.concatenate([c_mid[:shift], c_mid[:-shift]])
+        pr = jnp.concatenate([jnp.full((shift,), -1, jnp.int32),
+                              c_row[:-shift]])
+        take_self = c_row >= 0
+        c_key = jnp.where(take_self, c_key, pk)
+        c_mid = jnp.where(take_self, c_mid, pm)
+        c_row = jnp.where(take_self, c_row, pr)
+
+    match = ((c_key == keys_s) & (c_mid == mid_s) & ~is_target
+             & (c_row >= 0))
+    row = jnp.where(match, c_row, -1)
+
+    qid = pay_s & jnp.int32((1 << 30) - 1)
+    slot = jnp.where(is_target, q_total, qid)
+    flat = jnp.full((q_total + 1,), -1, jnp.int32)
+    flat = flat.at[slot].set(row, mode="drop")
+
+    kmaps: Dict[str, jax.Array] = {}
+    for sp, start, k, n_out in q_offsets:
+        kmaps[sp.key] = jax.lax.dynamic_slice_in_dim(
+            flat, start, k * n_out).reshape(k, n_out)
+    return kmaps
 
 
 def graph_builder(specs: Sequence[ConvSpec], level_caps: Dict[int, int]):
