@@ -216,7 +216,18 @@ def build_graph(coords: jax.Array, mask: jax.Array,
 
     uniq: list = []
     seen = set()
+    # Every map also gets its reverse-direction twin (in/out strides
+    # swapped): sparse_conv's scatter-free backward gathers dX through it.
+    # For the ResUNet family this adds nothing — same-level maps are their
+    # own reverse and each strided conv has a matching transpose conv.
+    want = []
     for sp in specs:
+        want.append(sp)
+        if sp.kernel_size % 2 == 1:
+            want.append(dataclasses.replace(sp, name=sp.name + "_rev",
+                                            in_stride=sp.out_stride,
+                                            out_stride=sp.in_stride))
+    for sp in want:
         if sp.is_identity_map or sp.key in seen:
             continue
         seen.add(sp.key)

@@ -85,24 +85,88 @@ def _sparse_conv_bwd(res, g):
 _sparse_conv_core.defvjp(_sparse_conv_fwd, _sparse_conv_bwd)
 
 
+@jax.custom_vjp
+def _sparse_conv_rev_core(feats, weights, idx, ridx):
+    return _conv_forward(feats, weights, idx)
+
+
+def _sparse_conv_rev_fwd(feats, weights, idx, ridx):
+    return _conv_forward(feats, weights, idx), (feats, weights, idx, ridx)
+
+
+def _sparse_conv_rev_bwd(res, g):
+    """Scatter-free backward: dX is itself a gather-GEMM convolution.
+
+    For a full odd stencil, offset[K-1-k] == -offset[k], and the voxel
+    duality  kmap[k, i] = j  <=>  rev_kmap[K-1-k, j] = i  holds (both maps
+    join the same two coordinate sets). So
+
+        dX[j] = sum_k g[i : kmap[k,i]=j] @ W[k]^T
+              = sum_k' gather(g, rev_kmap[k'])[j] @ W[K-1-k']^T
+
+    — pure gathers + MXU GEMMs, no scatter-add (TPU scatters ran ~3x the
+    cost of the whole forward pass). dW recomputes the forward gathers.
+    """
+    feats, weights, idx, ridx = res
+    n_in, cin = feats.shape
+    precision = _conv_precision(feats.dtype)
+    xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    g = g.astype(feats.dtype)
+    gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+    w_rev = weights[::-1]  # W[K-1-k'], aligned with rev_kmap[k']
+
+    def body(dx, kw):
+        idx_k, ridx_k, wr_k = kw
+        gathered = xp[idx_k]  # [N_out, Cin], recomputed
+        dw_rev_k = jnp.dot(gathered.T, g,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+        gg = gp[ridx_k]  # [N_in, Cout]
+        dx = dx + jnp.dot(gg, wr_k.astype(feats.dtype).T,
+                          preferred_element_type=dx.dtype,
+                          precision=precision)
+        return dx, dw_rev_k
+
+    dx0 = jnp.zeros((n_in, cin), jnp.promote_types(feats.dtype,
+                                                   jnp.float32))
+    # Scan over k' so dX uses (ridx[k'], w_rev[k']); dW comes out in k
+    # order by scanning idx reversed and flipping the stacked result.
+    dx, dw_flip = jax.lax.scan(body, dx0, (idx[::-1], ridx, w_rev))
+    return (dx.astype(feats.dtype), dw_flip[::-1].astype(weights.dtype),
+            None, None)
+
+
+_sparse_conv_rev_core.defvjp(_sparse_conv_rev_fwd, _sparse_conv_rev_bwd)
+
+
 def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,
-                precision=None) -> jax.Array:
+                rev_kmap: jax.Array = None, precision=None) -> jax.Array:
     """Sparse convolution via gather + GEMM (custom VJP).
 
     Args:
       feats: float[N_in, Cin] — input features (padded rows MUST be zero).
       weights: float[K, Cin, Cout].
       kmap: int32[K, N_out] — gather table, -1 for absent inputs.
+      rev_kmap: optional int32[K, N_in] gather table of the REVERSE
+        direction (out level looked up at in_coords + offset). When given
+        (requires a full odd stencil), the backward dX pass is a gather-GEMM
+        with flipped weights instead of a scatter-add — much faster on TPU.
+        build_graph materializes reverse maps for every conv, so model code
+        always passes this.
       precision: unused (kept for API compat); float32 inputs always use
         HIGHEST-precision MXU passes, bfloat16 uses native.
 
     Returns float[N_out, Cout]; padded output rows are zero (all their map
-    entries are -1). Backward recomputes gathers (O(N C) memory) and
-    produces dX via scatter-add, dW via gathered-X^T @ g.
+    entries are -1). Backward recomputes gathers (O(N C) memory); dX is a
+    reverse-map gather-GEMM when rev_kmap is given, a scatter-add otherwise.
     """
     n_in = feats.shape[0]
     idx = jnp.where(kmap < 0, n_in, kmap)
-    return _sparse_conv_core(feats, weights, idx)
+    if rev_kmap is None:
+        return _sparse_conv_core(feats, weights, idx)
+    n_out = kmap.shape[1]
+    ridx = jnp.where(rev_kmap < 0, n_out, rev_kmap)
+    return _sparse_conv_rev_core(feats, weights, idx, ridx)
 
 
 def masked_mean_var(feats: jax.Array, mask: jax.Array):

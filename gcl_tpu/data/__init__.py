@@ -2,8 +2,9 @@
 from .colocation import ColocationKittiDataset, ColocationNuscenesDataset
 from .device_pipeline import (VoxelizedClouds, batch_colocation_groups,
                               build_colocation_groups,
-                              build_correspondences, radius_knn,
-                              transform_points, voxelize_per_cloud)
+                              build_correspondences, grid_radius_knn,
+                              radius_knn, transform_points,
+                              voxelize_per_cloud)
 from .loader import DataLoader, collate_stack
 from .pairs import PairComplementKittiDataset, PairComplementNuscenesDataset
 from .transforms import Compose, Jitter, sample_random_trans

@@ -98,9 +98,126 @@ def radius_knn(queries: jax.Array, q_mask: jax.Array, targets: jax.Array,
     return idx, hit
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+_CELL_BITS = 10
+_CELL_HALF = 1 << (_CELL_BITS - 1)
+
+
+def _cell_key(cxyz: jax.Array, valid: jax.Array):
+    """Pack integer cell coords [..., 3] into one int30 key (< 2^30).
+
+    Returns (key, ok); rows that are invalid or out of the +-2^9 cell range
+    get the max sentinel key and ok=False.
+    """
+    u = cxyz + _CELL_HALF
+    ok = valid & jnp.all((u >= 0) & (u < 2 * _CELL_HALF), axis=-1)
+    key = ((u[..., 0] << (2 * _CELL_BITS)) | (u[..., 1] << _CELL_BITS)
+           | u[..., 2])
+    return jnp.where(ok, key, jnp.int32((1 << 30) - 1)), ok
+
+
+_OCTANT = jnp.asarray(
+    [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "cell", "cell_cap"))
+def grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
+                    targets: jax.Array, t_mask: jax.Array, radius,
+                    k: int, cell: float, cell_cap: int = 8
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """radius_knn via a sorted hash grid — the TPU-fast path.
+
+    Brute force computes a Q x T distance matrix and top_k's 18k-wide rows
+    (11 s/step at KITTI scale); this does ONE streaming sort instead:
+
+      1. bin targets into cells of size `cell` (static; must satisfy
+         cell >= 2*radius — the traced radius is clamped to cell/2);
+      2. a sphere of radius <= cell/2 intersects at most 2 cells per axis,
+         so each query probes only its 8-cell octant (home cell + the
+         neighbor on the side of the cell midpoint per axis);
+      3. one combined sort of [target keys | 8 query keys] + a prefix sum
+         yields, per probe, the START of that cell's run in the
+         target-sorted order (targets order before equal-key queries via
+         the flag bit) — candidates are the next `cell_cap` contiguous
+         rows, validated by key equality;
+      4. exact distances to <= 8*cell_cap candidates, top_k over that
+         narrow axis.
+
+    Exact up to per-cell truncation: only the first `cell_cap` targets of
+    one cell (in sort order) are visible. Voxelized LiDAR at 0.3 m holds
+    ~2-4 voxels per 0.9 m cell, so cell_cap=8 loses essentially nothing
+    (and the reference truncates radius hits to K=5 anyway,
+    util/pointcloud.py:89).
+    """
+    qn = queries.shape[0]
+    tn = targets.shape[0]
+    r = jnp.minimum(jnp.asarray(radius, jnp.float32), cell * 0.5)
+
+    tkey, t_ok = _cell_key(jnp.floor(
+        jnp.where(t_mask[:, None], targets, 1e30) / cell).astype(jnp.int32),
+        t_mask)
+    tx = jnp.where(t_ok[:, None], targets, 1e30)
+
+    qx = jnp.where(q_mask[:, None], queries, -1e30)
+    qc = qx * jnp.float32(1.0 / cell)
+    qcell = jnp.floor(qc).astype(jnp.int32)
+    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)  # [Q,3]
+    probe_cells = (qcell[:, None, :]
+                   + step[:, None, :] * _OCTANT[None, :, :])  # [Q,8,3]
+    qkey, _ = _cell_key(probe_cells, q_mask[:, None])  # [Q,8]
+
+    # flag bit 1 = target, so queries sort BEFORE equal-key targets and a
+    # query's target-prefix-count is searchsorted-left (the run start).
+    # Both key kinds stay < 2^31 (non-negative int32).
+    keys = jnp.concatenate([tkey * 2 + 1, qkey.reshape(-1) * 2])
+    payload = jnp.concatenate([jnp.arange(tn, dtype=jnp.int32),
+                               jnp.arange(8 * qn, dtype=jnp.int32)])
+    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
+
+    is_t = (keys_s & 1) == 1
+    it32 = is_t.astype(jnp.int32)
+    t_before = jnp.cumsum(it32) - it32  # targets strictly before position
+
+    # target rows in sorted-key order
+    tslot = jnp.where(is_t, t_before, tn)
+    tsorted = jnp.zeros((tn + 1,), jnp.int32).at[tslot].set(
+        pay_s, mode="drop")[:tn]
+    # per-probe run start in the target-sorted order
+    qslot = jnp.where(is_t, 8 * qn, pay_s)
+    qstart = jnp.zeros((8 * qn + 1,), jnp.int32).at[qslot].set(
+        t_before, mode="drop")[:8 * qn].reshape(qn, 8)
+
+    tkey_s = tkey[tsorted]
+    txyz_s = tx[tsorted]
+
+    cpos = qstart[:, :, None] + jnp.arange(cell_cap,
+                                           dtype=jnp.int32)  # [Q,8,C]
+    in_arr = cpos < tn
+    cposc = jnp.minimum(cpos, tn - 1)
+    same_cell = tkey_s[cposc] == qkey[:, :, None]
+    d2 = jnp.sum((qx[:, None, None, :] - txyz_s[cposc]) ** 2, -1)
+    d2 = jnp.where(in_arr & same_cell, d2, 1e30)
+
+    neg, ci = jax.lax.top_k(-d2.reshape(qn, 8 * cell_cap), k)
+    d2k = -neg
+    sel_pos = jnp.take_along_axis(cposc.reshape(qn, 8 * cell_cap), ci, 1)
+    idx = tsorted[sel_pos]
+    hit = (d2k <= r * r) & q_mask[:, None]
+    return idx, hit
+
+
+def _knn(queries, q_mask, targets, t_mask, radius, k, chunk, cell,
+         cell_cap):
+    if cell is not None:
+        return grid_radius_knn(queries, q_mask, targets, t_mask, radius,
+                               k, cell=cell, cell_cap=cell_cap)
+    return radius_knn(queries, q_mask, targets, t_mask, radius, k, chunk)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "cell", "cell_cap"))
 def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
-                            search_radius, k: int = 5, chunk: int = 512
+                            search_radius, k: int = 5, chunk: int = 512,
+                            cell: float = None, cell_cap: int = 8
                             ) -> ColocationGroups:
     """Device rebuild of get_matching_indices_colocation
     (util/pointcloud.py:69-132), for one sample of C clouds (cloud 0 =
@@ -126,8 +243,8 @@ def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
                                                             transforms)
 
     def search(cloud_xyz, cloud_mask):
-        return radius_knn(center_xyz, center_mask, cloud_xyz, cloud_mask,
-                          search_radius, k, chunk)
+        return _knn(center_xyz, center_mask, cloud_xyz, cloud_mask,
+                    search_radius, k, chunk, cell, cell_cap)
 
     idx, hit = jax.vmap(search)(aligned, vox.mask)  # [C, Q, k]
 
@@ -161,7 +278,8 @@ def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
 
 def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                             voxel_size, search_radius, k: int = 5,
-                            chunk: int = 512) -> ColocationGroups:
+                            chunk: int = 512, cell: float = None,
+                            cell_cap: int = 8) -> ColocationGroups:
     """Batched group construction: vox_b fields have a leading sample dim
     [B, C, Nv, ...]; returns groups with global rows into the flattened
     [B*C*Nv] voxel array and anchor_item = sample index. `search_radius`
@@ -177,7 +295,8 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                                             jnp.float32), (b,))
 
     groups = jax.vmap(
-        lambda v, t, r: build_colocation_groups(v, t, r, k, chunk)
+        lambda v, t, r: build_colocation_groups(v, t, r, k, chunk, cell,
+                                                cell_cap)
     )(vox_b, transforms_b, radius_b)
 
     sample_off = (jnp.arange(b, dtype=jnp.int32) * (c * nv))[:, None, None]
@@ -198,11 +317,12 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "cell", "cell_cap"))
 def build_correspondences(xyz0: jax.Array, mask0: jax.Array,
                           xyz1: jax.Array, mask1: jax.Array,
                           trans: jax.Array, search_radius,
-                          k: int = 8, chunk: int = 512):
+                          k: int = 8, chunk: int = 512,
+                          cell: float = None, cell_cap: int = 8):
     """GT correspondences for a pair: all target voxels within
     `search_radius` of each transformed source voxel, capped at k per
     source (reference get_matching_indices, util/pointcloud.py:53-66;
@@ -211,7 +331,8 @@ def build_correspondences(xyz0: jax.Array, mask0: jax.Array,
     Returns (pairs int32[N0*k, 2] of (i0, i1), mask bool[N0*k]).
     """
     src = transform_points(xyz0, trans)
-    idx, hit = radius_knn(src, mask0, xyz1, mask1, search_radius, k, chunk)
+    idx, hit = _knn(src, mask0, xyz1, mask1, search_radius, k, chunk,
+                    cell, cell_cap)
     n0 = xyz0.shape[0]
     i0 = jnp.broadcast_to(jnp.arange(n0, dtype=jnp.int32)[:, None],
                           (n0, k)).reshape(-1)

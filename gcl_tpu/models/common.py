@@ -15,7 +15,7 @@ from flax import linen as nn
 from ..core.kernel_maps import ConvSpec
 from ..core.sparse_ops import (masked_instance_mean_var, masked_mean_var,
                                sparse_conv)
-from ..core.types import SparseGraph
+from ..core.types import SparseGraph, map_key
 
 # torch kaiming_uniform(a=sqrt(5)) over fan_in = K^3 * Cin — the default
 # init of ME.MinkowskiConvolution's underlying parameter.
@@ -44,7 +44,12 @@ class SparseConv(nn.Module):
             w = self.param("kernel", conv_init,
                            (self.spec.kernel_size ** 3, self.in_ch,
                             self.out_ch))
-            y = sparse_conv(x, w, graph.kmaps[self.spec.key])
+            rev = None
+            if self.spec.kernel_size % 2 == 1:
+                rk = map_key(self.spec.out_stride, self.spec.in_stride,
+                             self.spec.kernel_size, self.spec.dilation)
+                rev = graph.kmaps.get(rk)
+            y = sparse_conv(x, w, graph.kmaps[self.spec.key], rev)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
             y = y + b.astype(y.dtype)

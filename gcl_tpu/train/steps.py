@@ -54,6 +54,10 @@ class StepConfig:
     corr_k: int = 8
     pos_pair_cap: int = 1 << 20
     knn_chunk: int = 1024
+    # Static hash-grid cell for radius searches (must be >= 2x the largest
+    # traced search radius). None -> brute-force O(QT) search.
+    search_cell: Any = None
+    cell_cap: int = 8
     momentum: float = 0.8
     weight_decay: float = 1e-4
     jitter_sigma: float = 0.01
@@ -118,7 +122,9 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         groups = batch_colocation_groups(vox_b, transforms,
                                          step_cfg.voxel_size, radius,
                                          k=step_cfg.group_k,
-                                         chunk=step_cfg.knn_chunk)
+                                         chunk=step_cfg.knn_chunk,
+                                         cell=step_cfg.search_cell,
+                                         cell_cap=step_cfg.cell_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
                             step_cfg.level_caps)
@@ -224,16 +230,11 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
         """Per-sample GT correspondences with global row offsets."""
         b, nv = vox0.mask.shape
 
-        def per_sample(args):
-            x0, m0, x1, m1, t, r = args
-            return build_correspondences(x0, m0, x1, m1, t, r,
-                                         k=step_cfg.corr_k,
-                                         chunk=step_cfg.knn_chunk)
-
         pairs, pm = jax.vmap(
             lambda x0, m0, x1, m1, t, r: build_correspondences(
                 x0, m0, x1, m1, t, r, k=step_cfg.corr_k,
-                chunk=step_cfg.knn_chunk))(
+                chunk=step_cfg.knn_chunk, cell=step_cfg.search_cell,
+                cell_cap=step_cfg.cell_cap))(
             vox0.xyz, vox0.mask, vox1.xyz, vox1.mask, trans, radius)
         off = (jnp.arange(b, dtype=jnp.int32) * nv)[:, None, None]
         pairs = pairs + off

@@ -215,6 +215,53 @@ class TestSparseConv:
         assert np.isfinite(np.asarray(gw)).all()
         assert np.abs(np.asarray(gf)).sum() > 0
 
+    @pytest.mark.parametrize("in_s,out_s,k", [(1, 1, 3), (1, 2, 3),
+                                              (2, 1, 3), (1, 1, 5)])
+    def test_reverse_map_grads_match_scatter(self, rng, in_s, out_s, k):
+        """The scatter-free backward (reverse kernel maps) must produce
+        exactly the same dX/dW as the scatter-add reference path."""
+        cap, cin, cout = 96, 4, 6
+        n = 60
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = rng.randint(-6, 7, (n, 3))
+        # dedupe (keep first)
+        _, first = np.unique(coords[:n, 1:], axis=0, return_index=True)
+        keep = np.zeros(n, bool)
+        keep[first] = True
+        coords[:n][~keep] = [int(INVALID_BATCH), -1, -1, -1]
+        mask = np.zeros(cap, bool)
+        mask[:n] = keep
+
+        spec = ConvSpec("c", in_s, out_s, k)
+        caps = {1: cap, 2: cap}
+        g = build_graph(jnp.asarray(coords), jnp.asarray(mask), [spec],
+                        caps)
+        rev_key = ConvSpec("r", out_s, in_s, k).key
+        assert rev_key in g.kmaps  # build_graph materializes reverses
+        n_in_cap = caps[in_s]
+        feats = jnp.asarray(rng.randn(n_in_cap, cin).astype(np.float32))
+        feats = feats * jnp.asarray(
+            np.asarray(g.levels[in_s].mask))[:, None]
+        w = jnp.asarray(rng.randn(k ** 3, cin, cout).astype(np.float32))
+        cot = jnp.asarray(
+            rng.randn(caps[out_s], cout).astype(np.float32))
+
+        def loss_scatter(w, f):
+            return jnp.sum(sparse_conv(f, w, g.kmaps[spec.key]) * cot)
+
+        def loss_rev(w, f):
+            return jnp.sum(sparse_conv(f, w, g.kmaps[spec.key],
+                                       g.kmaps[rev_key]) * cot)
+
+        gw0, gf0 = jax.grad(loss_scatter, argnums=(0, 1))(w, feats)
+        gw1, gf1 = jax.grad(loss_rev, argnums=(0, 1))(w, feats)
+        np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf0), np.asarray(gf1),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestMaskedStats:
     def test_mean_var_ignores_padding(self, rng):

@@ -7,7 +7,8 @@ import numpy as np
 
 from gcl_tpu.data.device_pipeline import (batch_colocation_groups,
                                           build_correspondences,
-                                          radius_knn, transform_points,
+                                          grid_radius_knn, radius_knn,
+                                          transform_points,
                                           voxelize_per_cloud)
 
 
@@ -40,6 +41,38 @@ class TestRadiusKNN:
             want = [w for w in want if d[w] <= radius]
             got = idx[i][hit[i]]
             assert list(got) == list(want), i
+
+    def test_grid_matches_bruteforce(self, rng):
+        """Sorted-hash-grid search == brute force (cell_cap large enough
+        to hold every cell's occupants)."""
+        q = (rng.randn(200, 3) * 1.5).astype(np.float32)
+        t = (rng.randn(300, 3) * 1.5).astype(np.float32)
+        q_mask = np.ones(200, bool)
+        q_mask[190:] = False
+        t_mask = np.ones(300, bool)
+        t_mask[280:] = False
+        radius, k = 0.7, 5
+        idx0, hit0 = radius_knn(jnp.asarray(q), jnp.asarray(q_mask),
+                                jnp.asarray(t), jnp.asarray(t_mask),
+                                radius, k, chunk=64)
+        idx1, hit1 = grid_radius_knn(jnp.asarray(q), jnp.asarray(q_mask),
+                                     jnp.asarray(t), jnp.asarray(t_mask),
+                                     radius, k, cell=2 * radius,
+                                     cell_cap=128)
+        idx0, hit0, idx1, hit1 = map(np.asarray, (idx0, hit0, idx1, hit1))
+        np.testing.assert_array_equal(hit0, hit1)
+        np.testing.assert_array_equal(idx0[hit0], idx1[hit1])
+
+    def test_grid_clamps_radius_to_half_cell(self, rng):
+        """A traced radius larger than cell/2 must be clamped, never
+        produce false hits beyond the guaranteed-coverage range."""
+        q = np.zeros((1, 3), np.float32)
+        t = np.asarray([[0.3, 0, 0], [1.4, 0, 0]], np.float32)
+        idx, hit = grid_radius_knn(
+            jnp.asarray(q), jnp.ones(1, bool), jnp.asarray(t),
+            jnp.ones(2, bool), 5.0, 2, cell=1.0, cell_cap=8)
+        got = set(np.asarray(idx)[0][np.asarray(hit)[0]])
+        assert got == {0}  # only the hit within cell/2 = 0.5
 
 
 class TestVoxelizePerCloud:
