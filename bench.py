@@ -62,7 +62,8 @@ def main():
     cfg = StepConfig(voxel_size=0.3, nv_cap=nv_cap,
                      level_caps=default_level_caps(n_flat, strides, 0.55),
                      knn_chunk=1024, pos_pair_cap=1 << 21,
-                     search_cell=1.08)  # 2 * (0.45 search radius) * 1.2
+                     search_cell=1.08,  # 2 * (0.45 search radius) * 1.2
+                     compute_dtype=jnp.bfloat16)
 
     tx, step = make_gcl_train_step(
         model, specs, cfg, GCLLossConfig(block_finest_gradient=False),

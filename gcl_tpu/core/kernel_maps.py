@@ -163,6 +163,39 @@ def _build_kmap_sortjoin(out_level: LevelCoords, in_level: LevelCoords,
     return kmap_flat[:k * n_out].reshape(k, n_out)
 
 
+def _query_keys(out_level: LevelCoords, in_stride: int,
+                offsets: np.ndarray):
+    """(qhi, qlo) int32[K, N_out] lookup keys for out_coords + offsets.
+    Off-lattice / padded queries carry the max sentinel key."""
+    oc = out_level.coords
+
+    def per_offset(off):
+        qxyz = oc[:, 1:4] + off[None, :]
+        q = jnp.concatenate([oc[:, 0:1], qxyz], axis=1)
+        qh, ql = coord_keys(q, in_stride)
+        if in_stride > 1:
+            on_lattice = jnp.all(qxyz % in_stride == 0, axis=1)
+            sent = jnp.int32(0x7FFFFFFF)
+            qh = jnp.where(on_lattice, qh, sent)
+            ql = jnp.where(on_lattice, ql, sent)
+        return qh, ql
+
+    return jax.vmap(per_offset)(jnp.asarray(offsets))
+
+
+def _build_kmap_pallas(out_level: LevelCoords, in_level: LevelCoords,
+                       in_stride: int, offsets: np.ndarray,
+                       interpret: bool = False) -> jax.Array:
+    """Windowed sorted merge-join on the Mosaic path (pallas_join.py) —
+    replaces the global sort + scatter of the one-sort builder (~2.3 s
+    per KITTI-scale step) with per-tile target windows."""
+    from .pallas_join import join_kmap
+
+    qh, ql = _query_keys(out_level, in_stride, offsets)
+    return join_kmap(in_level.key_hi, in_level.key_lo, in_level.perm,
+                     qh, ql, interpret=interpret)
+
+
 def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
                 in_stride: int, offsets: np.ndarray) -> jax.Array:
     """Gather table: kmap[k, i] = row of in_level at out_coords[i]+off[k]."""
@@ -189,7 +222,7 @@ def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
 def build_graph(coords: jax.Array, mask: jax.Array,
                 specs: Sequence[ConvSpec],
                 level_caps: Dict[int, int],
-                method: str = "sortjoin",
+                method: str = "auto",
                 key_bits=None) -> SparseGraph:
     """Build all stride levels + kernel maps needed by a conv plan.
 
@@ -199,8 +232,9 @@ def build_graph(coords: jax.Array, mask: jax.Array,
       specs: the model's convolutions (duplicate geometry is deduped).
       level_caps: static dict stride -> capacity. Must contain every stride
         appearing in `specs`; stride 1 capacity must equal N0.
-      method: 'sortjoin' (default; streaming sorts, TPU-fast) or 'bsearch'
-        (vectorized binary search; reference implementation).
+      method: 'auto' (default; Mosaic merge-join on TPU, sortjoin
+        elsewhere), 'pallas', 'sortjoin' (one streaming sort) or
+        'bsearch' (vectorized binary search; reference implementation).
       key_bits: (bx, by, bz) per-axis bit budget for sortjoin keys
         (coords.DEFAULT_KEY_BITS when None).
 
@@ -233,15 +267,24 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         seen.add(sp.key)
         uniq.append(sp)
 
+    if method == "auto":
+        from .pallas_conv import pallas_available
+        method = "pallas" if pallas_available() else "sortjoin"
+
     kmaps: Dict[str, jax.Array] = {}
     if method == "sortjoin":
         kmaps = _build_all_kmaps_one_sort(levels, uniq, key_bits)
     else:
         for sp in uniq:
             offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
-            kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
-                                        levels[sp.in_stride],
-                                        sp.in_stride, offsets)
+            if method == "pallas":
+                kmaps[sp.key] = _build_kmap_pallas(levels[sp.out_stride],
+                                                   levels[sp.in_stride],
+                                                   sp.in_stride, offsets)
+            else:
+                kmaps[sp.key] = _build_kmap(levels[sp.out_stride],
+                                            levels[sp.in_stride],
+                                            sp.in_stride, offsets)
     return SparseGraph(levels=levels, kmaps=kmaps)
 
 

@@ -26,8 +26,28 @@ def _conv_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _use_pallas(feats, idx):
+    """Mosaic path: TPU backend + bf16 + shapes big enough to win.
+
+    The one-hot gather rides the MXU, so it only beats XLA's row gather
+    in native bf16 (f32 HIGHEST runs 6 MXU passes and loses); f32 models
+    keep the scan path.
+    """
+    from .pallas_conv import pallas_available
+    return (pallas_available() and feats.dtype == jnp.bfloat16
+            and idx.shape[1] >= 1024)
+
+
 def _conv_forward(feats, weights, idx):
-    """Scan of gathers + GEMMs; idx already routed (-1 -> n_in)."""
+    """sum_k x[idx[k]] @ W[k]; idx already routed (-1 -> n_in).
+
+    On TPU the Pallas windowed gather-GEMM kernel runs this (XLA row
+    gathers are ~65 M rows/s on v5e — see pallas_conv.py); elsewhere, a
+    scan of XLA gathers + GEMMs.
+    """
+    if _use_pallas(feats, idx):
+        from .pallas_conv import pallas_conv_fwd
+        return pallas_conv_fwd(feats, weights, idx)
     n_in, cin = feats.shape
     cout = weights.shape[-1]
     precision = _conv_precision(feats.dtype)
@@ -110,8 +130,16 @@ def _sparse_conv_rev_bwd(res, g):
     feats, weights, idx, ridx = res
     n_in, cin = feats.shape
     precision = _conv_precision(feats.dtype)
-    xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     g = g.astype(feats.dtype)
+
+    if _use_pallas(feats, idx) and _use_pallas(g, ridx):
+        from .pallas_conv import pallas_conv_dw, pallas_conv_fwd
+        w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+        dx = pallas_conv_fwd(g, w_rev_t, ridx)
+        dw = pallas_conv_dw(feats, g, idx)
+        return dx.astype(feats.dtype), dw.astype(weights.dtype), None, None
+
+    xp = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
     w_rev = weights[::-1]  # W[K-1-k'], aligned with rev_kmap[k']
 

@@ -84,7 +84,16 @@ def _pair_positive_d(feats, mm, key, square: bool):
 def _negative_loss(f_out, voxel_mask, pos_pairs, pos_pair_mask, key,
                    max_hn_samples, cfg: GCLLossConfig):
     """Hardest-negative hinge over two random voxel subsets
-    (reference :504-535)."""
+    (reference :504-535).
+
+    The "pair is actually intra-group" filter accepts either form:
+      * pos_pair_mask is an array -> pos_pairs is the explicit sorted
+        (min, max) intra-group pair list (intra_group_pairs);
+      * pos_pair_mask is None -> pos_pairs is the per-voxel reverse
+        membership index (member_group_index); co-membership is a tiny
+        set intersection on just the sampled pairs. Identical semantics,
+        but skips materializing ~G*Kc^2 pairs per step.
+    """
     k1, k2, kr = jax.random.split(key, 3)
     sel1, v1 = sample_without_replacement(k1, voxel_mask, max_hn_samples)
     sel2, v2 = sample_without_replacement(k2, voxel_mask, max_hn_samples)
@@ -96,12 +105,16 @@ def _negative_loss(f_out, voxel_mask, pos_pairs, pos_pair_mask, key,
         dmin = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
     closest = sel2[j]
     mask_self = sel1 != closest
-    # intra-group pairs are not negatives: exact membership over the
-    # symmetric (min, max) pair list
-    qa = jnp.minimum(sel1, closest)
-    qb = jnp.maximum(sel1, closest)
-    a_s, b_s = sort_pairs(pos_pairs, pos_pair_mask)
-    not_pos = ~pair_isin(a_s, b_s, qa, qb)
+    if pos_pair_mask is None:
+        ga = pos_pairs[sel1]  # [S, R] group ids containing each anchor
+        gb = pos_pairs[closest]
+        shared = (ga[:, :, None] == gb[:, None, :]) & (ga >= 0)[:, :, None]
+        not_pos = ~jnp.any(shared, axis=(1, 2))
+    else:
+        qa = jnp.minimum(sel1, closest)
+        qb = jnp.maximum(sel1, closest)
+        a_s, b_s = sort_pairs(pos_pairs, pos_pair_mask)
+        not_pos = ~pair_isin(a_s, b_s, qa, qb)
     m = not_pos & mask_self & v1 & v2[jnp.clip(j, 0)]
     return masked_mean(jax.nn.relu(cfg.neg_thresh - dmin) ** 2, m)
 
@@ -239,6 +252,38 @@ def location_circle_loss(f_out, voxel_mask, groups: ColocationGroups,
     loss_row = jax.nn.softplus(lse) / ls
     neg_loss = masked_mean(loss_row, has_neg & sel_valid)
     return GCLLossOut(pos_loss, finest_loss, neg_loss)
+
+
+def member_group_index(groups: ColocationGroups, n_total: int,
+                       r_cap: int = 32) -> jax.Array:
+    """Reverse membership index: midx[v, :] = ids of the (<= r_cap)
+    groups containing voxel row v, -1-padded.
+
+    The negative-loss "pair is intra-group" filter only ever queries the
+    max_hn_samples sampled pairs, so materializing every intra-group pair
+    (intra_group_pairs; ~G*Kc^2 rows, ~0.7 s/step at KITTI scale) is
+    wasted work: build this index with one small sort instead and test
+    co-membership by set intersection. A voxel lands in a group per
+    (center-within-radius, cloud, K-rank), ~3-10 in practice; r_cap=32
+    truncates more faithfully than the global pair_cap did.
+    """
+    g_cap, kc = groups.member_idx.shape
+    v = jnp.where(groups.member_mask, groups.member_idx,
+                  n_total).reshape(-1)
+    gid = jnp.broadcast_to(
+        jnp.arange(g_cap, dtype=jnp.int32)[:, None], (g_cap, kc)
+    ).reshape(-1)
+    v_s, g_s = jax.lax.sort((v, gid), num_keys=1)
+    n = v_s.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    new = jnp.concatenate([jnp.ones((1,), bool), v_s[1:] != v_s[:-1]])
+    start = jax.lax.cummax(jnp.where(new, iota, 0))
+    rank = iota - start
+    ok = (v_s < n_total) & (rank < r_cap)
+    slot = jnp.where(ok, v_s * r_cap + rank, n_total * r_cap)
+    out = jnp.full((n_total * r_cap + 1,), -1, jnp.int32)
+    out = out.at[slot].set(g_s, mode="drop")
+    return out[:n_total * r_cap].reshape(n_total, r_cap)
 
 
 def intra_group_pairs(groups: ColocationGroups,

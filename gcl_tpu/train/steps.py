@@ -27,7 +27,7 @@ from ..data.device_pipeline import (batch_colocation_groups,
                                     voxelize_per_cloud)
 from ..losses.gcl import (GCLLossConfig, finest_contrastive_loss,
                           intra_group_pairs, location_circle_loss,
-                          location_contrastive_loss)
+                          location_contrastive_loss, member_group_index)
 from ..losses.pairs import (contrastive_loss, hardest_contrastive_loss,
                             hardest_triplet_loss, triplet_loss)
 from ..reg.matching import find_nn
@@ -58,6 +58,7 @@ class StepConfig:
     # traced search radius). None -> brute-force O(QT) search.
     search_cell: Any = None
     cell_cap: int = 8
+    member_r_cap: int = 32  # reverse-membership index width (neg filter)
     momentum: float = 0.8
     weight_decay: float = 1e-4
     jitter_sigma: float = 0.01
@@ -135,7 +136,12 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         k_loss, k_jit = jax.random.split(rng)
         flat, graph, groups, c = forward_geometry(points, pmask,
                                                   transforms, radius)
-        pos_pairs, ppmask = intra_group_pairs(groups, step_cfg.pos_pair_cap)
+        # Reverse membership index instead of the explicit intra-group
+        # pair list — same negative-filter semantics, none of the
+        # G*Kc^2 pair materialization cost.
+        pos_pairs = member_group_index(groups, flat.mask.shape[0],
+                                       step_cfg.member_r_cap)
+        ppmask = None
         center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
 
         def loss(params):

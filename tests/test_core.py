@@ -147,6 +147,29 @@ class TestKernelMaps:
         km_s2 = np.asarray(g.kmaps[specs[2].key])
         assert np.array_equal(km_s2, oracle_s2)
 
+    def test_pallas_join_matches_bsearch(self, rng):
+        """Mosaic merge-join builder == binary-search builder (interpret
+        mode; the TPU path is exercised by bench.py)."""
+        from gcl_tpu.core.kernel_maps import (_build_kmap,
+                                              _build_kmap_pallas,
+                                              _downsample_level,
+                                              _index_level)
+        all_c, mask, coords = self._random_batch(rng)
+        l1 = _index_level(jnp.asarray(all_c), jnp.asarray(mask), 1)
+        l2 = _downsample_level(jnp.asarray(all_c), jnp.asarray(mask), 2,
+                               all_c.shape[0])
+        cases = [  # (out, in, in_stride, kernel, offset_scale)
+            (l1, l1, 1, 3, 1), (l2, l1, 1, 3, 1),  # self, down
+            (l1, l2, 2, 3, 1), (l2, l2, 2, 3, 2),  # transpose, self-L2
+            (l1, l1, 1, 5, 1),
+        ]
+        for out_l, in_l, in_s, k, scale in cases:
+            offs = kernel_offsets(k) * scale
+            ref = np.asarray(_build_kmap(out_l, in_l, in_s, offs))
+            got = np.asarray(_build_kmap_pallas(out_l, in_l, in_s, offs,
+                                                interpret=True))
+            assert np.array_equal(ref, got), (in_s, k)
+
     def test_dilation(self, rng):
         all_c, mask, coords = self._random_batch(rng)
         spec = ConvSpec("d", 1, 1, 3, dilation=2)
@@ -261,6 +284,84 @@ class TestSparseConv:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf0), np.asarray(gf1),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPallasConv:
+    """Interpret-mode checks of the Mosaic windowed gather-GEMM kernel
+    against the XLA scan path (the TPU path is exercised by bench.py)."""
+
+    def _case(self, rng, n=700, c=16, cout=24, k=27):
+        x = rng.randn(n, c).astype(np.float32)
+        w = (rng.randn(k, c, cout) * 0.1).astype(np.float32)
+        base = np.arange(n, dtype=np.int32)
+        idx = np.zeros((k, n), np.int32)
+        for kk in range(k):
+            v = np.clip(base + (kk - k // 2) * 11
+                        + np.sort(rng.randint(-3, 4, n)), 0, n - 1)
+            v[rng.rand(n) < 0.3] = n  # missing
+            idx[kk] = v
+        # a hard jump (cloud boundary) to exercise multi-chunk windows
+        idx[:, n // 2:n // 2 + 40] = 0
+        return (jnp.asarray(x), jnp.asarray(w), jnp.asarray(idx))
+
+    def _scan_ref(self, x, w, idx):
+        n, c = x.shape
+        xp = jnp.concatenate([x, jnp.zeros((1, c), x.dtype)], 0)
+
+        def body(acc, kw):
+            i, wk = kw
+            return acc + xp[i] @ wk, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((idx.shape[1], w.shape[-1]), jnp.float32),
+            (idx, w))
+        return out
+
+    def test_fwd_matches_scan(self, rng):
+        from gcl_tpu.core.pallas_conv import pallas_conv_fwd
+        x, w, idx = self._case(rng)
+        ref = np.asarray(self._scan_ref(x, w, idx))
+        got = np.asarray(pallas_conv_fwd(x, w, idx, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_fwd_c1_matches_scan(self, rng):
+        """Cin == 1 specialization (occupancy conv1)."""
+        from gcl_tpu.core.pallas_conv import pallas_conv_fwd
+        x, w, idx = self._case(rng, c=1, cout=24)
+        ref = np.asarray(self._scan_ref(x, w, idx))
+        got = np.asarray(pallas_conv_fwd(x, w, idx, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_fwd_cout1_matches_scan(self, rng):
+        """Cout == 1 specialization (dX of a Cin==1 conv)."""
+        from gcl_tpu.core.pallas_conv import pallas_conv_fwd
+        x, w, idx = self._case(rng, c=16, cout=1)
+        ref = np.asarray(self._scan_ref(x, w, idx))
+        got = np.asarray(pallas_conv_fwd(x, w, idx, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_dw_c1_matches_scan(self, rng):
+        from gcl_tpu.core.pallas_conv import pallas_conv_dw
+        x, w, idx = self._case(rng, c=1, cout=24)
+        n = x.shape[0]
+        g = jnp.asarray(rng.randn(idx.shape[1], 24).astype(np.float32))
+        xp = jnp.concatenate([x, jnp.zeros((1, 1), x.dtype)], 0)
+        ref = np.stack([np.asarray(xp[idx[kk]].T @ g)
+                        for kk in range(idx.shape[0])])
+        got = np.asarray(pallas_conv_dw(x, g, idx, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_dw_matches_scan(self, rng):
+        from gcl_tpu.core.pallas_conv import pallas_conv_dw
+        x, w, idx = self._case(rng)
+        n, c = x.shape
+        g = jnp.asarray(rng.randn(idx.shape[1], w.shape[-1]).astype(
+            np.float32))
+        xp = jnp.concatenate([x, jnp.zeros((1, c), x.dtype)], 0)
+        ref = np.stack([np.asarray(xp[idx[kk]].T @ g)
+                        for kk in range(idx.shape[0])])
+        got = np.asarray(pallas_conv_dw(x, g, idx, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
 class TestMaskedStats:

@@ -96,6 +96,40 @@ class TestHelpers:
                     want.add((min(idx[i], idx[j]), max(idx[i], idx[j])))
         assert got == want
 
+    def test_member_index_filter_matches_pair_list(self, rng):
+        """The reverse-membership negative filter must give the same
+        neg_loss as the explicit intra-group pair list."""
+        from gcl_tpu.losses.gcl import (GCLLossConfig, _negative_loss,
+                                        member_group_index)
+        n_vox = 64
+        groups = make_groups(rng, n_vox=n_vox)
+        f = jnp.asarray(rng.randn(n_vox, 8).astype(np.float32))
+        vmask = jnp.asarray(rng.rand(n_vox) > 0.1)
+        pairs, pmask = intra_group_pairs(groups, 256)
+        midx = member_group_index(groups, n_vox, r_cap=16)
+        cfg = GCLLossConfig()
+        for seed in range(3):
+            key = jax.random.PRNGKey(seed)
+            a = _negative_loss(f, vmask, pairs, pmask, key, 32, cfg)
+            b = _negative_loss(f, vmask, midx, None, key, 32, cfg)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_member_index_contents(self, rng):
+        from gcl_tpu.losses.gcl import member_group_index
+        n_vox = 64
+        groups = make_groups(rng, n_vox=n_vox)
+        midx = np.asarray(member_group_index(groups, n_vox, r_cap=16))
+        want = {v: set() for v in range(n_vox)}
+        g = jax.device_get(groups)
+        for gi in range(g.member_idx.shape[0]):
+            for c in range(g.member_idx.shape[1]):
+                if g.member_mask[gi, c]:
+                    want[int(g.member_idx[gi, c])].add(gi)
+        for v in range(n_vox):
+            got = {int(x) for x in midx[v] if x >= 0}
+            assert got == want[v], v
+
 
 def oracle_finest(F, groups_np, cfg):
     pos, fin = 0.0, 0.0
