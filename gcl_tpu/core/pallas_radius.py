@@ -1,0 +1,229 @@
+"""Pallas TPU kernel for hash-grid radius-KNN candidate selection.
+
+The XLA grid search (data.device_pipeline.grid_radius_knn) finds each
+query's 8 octant cells via one sort, then gathers ~64 candidate rows per
+query — ~65 M gathered rows/s on v5e puts the colocation-group search at
+~0.9 s/step at KITTI scale. This kernel replaces the gathers with the
+same windowed pattern as pallas_conv/pallas_join:
+
+  * targets are sorted by cell key (done by the caller in XLA);
+  * the caller also sorts queries by home-cell key, so a 256-query tile's
+    probe keys span a bounded window of the sorted target array (probe
+    cells displace the home cell by at most one cell per axis);
+  * per (search, tile): ONE DMA of the stacked target window, candidate
+    mask = any probe key matches, exact distances on the VPU, and an
+    iterative top-k extraction (first-occurrence tie-break) merged across
+    window chunks by replace-max insertion.
+
+The kernel is key-scheme agnostic: the caller supplies packed cell keys
+for targets and probes (sentinel 0x7FFFFFFF = invalid); invalid targets
+must carry xyz = +-1e30 so their distances never pass the radius test.
+
+Replaces the Open3D KDTreeFlann radius searches of the reference
+(util/pointcloud.py:69-132) on the training hot path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256    # queries per grid step
+WIN = 2048    # target rows per DMA chunk (multiple of 128)
+
+_SENTINEL = 0x7FFFFFFF
+_BIG = 1e30  # plain float: jnp scalars would be captured kernel consts
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _first_min(d):
+    """(min values, first-occurrence one-hot mask) along axis 1.
+
+    Ties broken by smallest position via a second min-reduce (Mosaic has
+    no cumsum lowering)."""
+    n, w = d.shape
+    m = jnp.min(d, axis=1, keepdims=True)
+    em = d == m
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    pos = jnp.min(jnp.where(em, iota, w), axis=1, keepdims=True)
+    return m[:, 0], iota == pos
+
+
+def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
+                 tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref, sems, *,
+                 P, KN):
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    s0 = starts_ref[s, i] & ~127
+    nc = nch_ref[s, i]
+    r2 = r2_ref[s]
+
+    best_d = jnp.full((TILE, KN), _BIG, jnp.float32)
+    best_r = jnp.full((TILE, KN), -1, jnp.int32)
+
+    def chunk(c, carry):
+        best_d, best_r = carry
+        base = pl.multiple_of(s0 + c * WIN, 128)
+        d1 = pltpu.make_async_copy(ti_hbm.at[s, :, pl.ds(base, WIN)],
+                                   wi_ref, sems.at[0])
+        d2a = pltpu.make_async_copy(tf_hbm.at[s, :, pl.ds(base, WIN)],
+                                    wf_ref, sems.at[1])
+        d1.start()
+        d2a.start()
+        d1.wait()
+        d2a.wait()
+        tkey = wi_ref[0:1, :]   # [1, W]
+        trow = wi_ref[1:2, :]
+        cand = jnp.zeros((TILE, WIN), bool)
+        for p in range(P):
+            cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
+        d2 = jnp.zeros((TILE, WIN), jnp.float32)
+        for a in range(3):
+            diff = qx_ref[0, :, a:a + 1] - wf_ref[a:a + 1, :]
+            d2 = d2 + diff * diff
+        dm = jnp.where(cand & (d2 <= r2), d2, _BIG)
+        for _ in range(KN):
+            m, fm = _first_min(dm)
+            row = jnp.sum(jnp.where(fm, jnp.broadcast_to(trow,
+                                                         (TILE, WIN)), 0),
+                          axis=1)
+            dm = jnp.where(fm, _BIG, dm)
+            # replace-max insertion into the running best set
+            bmax, bm = _first_min(-best_d)
+            better = m < -bmax
+            best_d = jnp.where(bm & better[:, None], m[:, None], best_d)
+            best_r = jnp.where(bm & better[:, None], row[:, None], best_r)
+        return best_d, best_r
+
+    best_d, best_r = jax.lax.fori_loop(0, nc, chunk, (best_d, best_r))
+
+    # emit ascending by distance
+    for j in range(KN):
+        m, fm = _first_min(best_d)
+        row = jnp.sum(jnp.where(fm, best_r, 0), axis=1)
+        od2_ref[0, :, j] = m
+        orow_ref[0, :, j] = jnp.where(m < _BIG, row, -1)
+        best_d = jnp.where(fm, _BIG, best_d)
+
+
+def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
+                       txyz_s: jax.Array, probes: jax.Array,
+                       qxyz: jax.Array, r2: jax.Array, kn: int,
+                       interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Batched nearest-targets-in-probed-cells.
+
+    Args:
+      tkey_s: int32[S, T] SORTED packed cell keys per search (sentinel
+        0x7FFFFFFF for invalid rows).
+      trow_s: int32[S, T] original target row per sorted position.
+      txyz_s: float32[S, T, 3] target coordinates in sorted order
+        (invalid rows must be +-1e30).
+      probes: int32[S, Q, P] candidate cell keys per query (queries must
+        be ordered ~monotonically in home-cell key for bounded windows).
+      qxyz: float32[S, Q, 3].
+      r2: float32[S] squared radius.
+      kn: number of neighbours.
+
+    Returns (rows int32[S, Q, kn] (-1 = none), d2 float32[S, Q, kn]),
+    ascending by distance.
+    """
+    s_n, t_cap = tkey_s.shape
+    _, q_n, p_n = probes.shape
+    n_tiles = _cdiv(q_n, TILE)
+    qpad = n_tiles * TILE - q_n
+    if qpad:
+        probes = jnp.pad(probes, ((0, 0), (0, qpad), (0, 0)),
+                         constant_values=_SENTINEL)
+        qxyz = jnp.pad(qxyz, ((0, 0), (0, qpad), (0, 0)),
+                       constant_values=-1e30)
+
+    # per-(search, tile) windows from probe-key extrema (masked sentinel)
+    pk_t = probes.reshape(s_n, n_tiles, TILE, p_n)
+    val = pk_t != _SENTINEL
+    kmin = jnp.min(jnp.where(val, pk_t, _SENTINEL), axis=(2, 3))
+    kmax = jnp.max(jnp.where(val, pk_t, jnp.int32(-2 ** 31)), axis=(2, 3))
+    tile_any = jnp.any(val, axis=(2, 3))
+
+    def ssorted(keys, q):  # lower bound, vmapped over searches
+        n = keys.shape[0]
+        iters = max(1, math.ceil(math.log2(n + 1)))
+        lo = jnp.zeros(q.shape, jnp.int32)
+        hi = jnp.full(q.shape, n, jnp.int32)
+
+        def body(_, c):
+            lo, hi = c
+            mid = (lo + hi) >> 1
+            less = keys[jnp.minimum(mid, n - 1)] < q
+            return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        return lo
+
+    start = jax.vmap(ssorted)(tkey_s, kmin)
+    end = jax.vmap(ssorted)(tkey_s, kmax)
+    t_pad = _cdiv(t_cap, WIN) * WIN + WIN
+    start = jnp.clip(start & ~127, 0, t_pad - WIN)
+    nch = jnp.clip(_cdiv(jnp.minimum(end, t_cap - 1) - start + 2, WIN),
+                   1, _cdiv(t_pad, WIN))
+    nch = jnp.where(tile_any, nch, 0).astype(jnp.int32)
+    start = start.astype(jnp.int32)
+
+    pad_t = t_pad - t_cap
+    ti = jnp.stack([
+        jnp.pad(tkey_s, ((0, 0), (0, pad_t)), constant_values=_SENTINEL),
+        jnp.pad(trow_s, ((0, 0), (0, pad_t)), constant_values=-1),
+        jnp.zeros((s_n, t_pad), jnp.int32),
+        jnp.zeros((s_n, t_pad), jnp.int32),
+    ], axis=1)  # [S, 4, t_pad]
+    tf = jnp.concatenate([
+        jnp.pad(txyz_s, ((0, 0), (0, pad_t), (0, 0)),
+                constant_values=1e30).transpose(0, 2, 1),
+        jnp.zeros((s_n, 1, t_pad), jnp.float32),
+    ], axis=1)  # [S, 4, t_pad]
+
+    qx4 = jnp.concatenate(
+        [qxyz, jnp.zeros(qxyz.shape[:2] + (1,), jnp.float32)], axis=2)
+
+    kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, p_n), lambda s, i, *_: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 4), lambda s, i, *_: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE, kn), lambda s, i, *_: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, kn), lambda s, i, *_: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, WIN), jnp.int32),
+            pltpu.VMEM((4, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    rows, d2 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((s_n, n_tiles * TILE, kn), jnp.int32),
+            jax.ShapeDtypeStruct((s_n, n_tiles * TILE, kn), jnp.float32),
+        ),
+        interpret=interpret,
+    )(start, nch, r2, probes, qx4, ti, tf)
+    return rows[:, :q_n], d2[:, :q_n]

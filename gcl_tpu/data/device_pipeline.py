@@ -214,6 +214,61 @@ def _knn(queries, q_mask, targets, t_mask, radius, k, chunk, cell,
     return radius_knn(queries, q_mask, targets, t_mask, radius, k, chunk)
 
 
+@partial(jax.jit, static_argnames=("k", "cell"))
+def batched_grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
+                            targets: jax.Array, t_mask: jax.Array,
+                            radius: jax.Array, k: int, cell: float
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Batched grid search on the Mosaic windowed top-k kernel.
+
+    queries: float[S, Q, 3]; targets: float[S, T, 3]; radius: float[S].
+    Semantics of grid_radius_knn (octant probes, radius clamped to
+    cell/2), with the candidate gathers + top_k replaced by
+    core.pallas_radius.windowed_cell_topk (XLA gathers ran the
+    colocation-group search at ~0.9 s/step at KITTI scale).
+    """
+    from ..core.pallas_radius import windowed_cell_topk
+
+    s_n, q_n, _ = queries.shape
+    t_n = targets.shape[1]
+    r = jnp.minimum(radius.astype(jnp.float32), cell * 0.5)
+
+    tkey, t_ok = _cell_key(jnp.floor(
+        jnp.where(t_mask[..., None], targets, 1e30) / cell
+    ).astype(jnp.int32), t_mask)
+    tx = jnp.where(t_ok[..., None], targets, 1e30)
+    iota_t = jnp.broadcast_to(jnp.arange(t_n, dtype=jnp.int32),
+                              (s_n, t_n))
+    tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
+    txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
+
+    qx = jnp.where(q_mask[..., None], queries, -1e30)
+    qc = qx * jnp.float32(1.0 / cell)
+    qcell = jnp.floor(qc).astype(jnp.int32)
+    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
+    probe_cells = (qcell[:, :, None, :]
+                   + step[:, :, None, :] * _OCTANT[None, None, :, :])
+    probes, _ = _cell_key(probe_cells, q_mask[:, :, None])  # [S, Q, 8]
+
+    # process queries in home-cell-key order so tiles window the sorted
+    # target array (probe 0 is the home cell)
+    iota_q = jnp.broadcast_to(jnp.arange(q_n, dtype=jnp.int32),
+                              (s_n, q_n))
+    _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
+    probes_s = jnp.take_along_axis(probes, qperm[..., None], axis=1)
+    qxyz_s = jnp.take_along_axis(qx, qperm[..., None], axis=1)
+
+    rows_s, d2_s = windowed_cell_topk(tkey_s, trow_s, txyz_s, probes_s,
+                                      qxyz_s, r * r, k)
+    sidx = jnp.broadcast_to(jnp.arange(s_n, dtype=jnp.int32)[:, None],
+                            (s_n, q_n))
+    rows = jnp.zeros((s_n, q_n, k), jnp.int32).at[sidx, qperm].set(rows_s)
+    d2 = jnp.full((s_n, q_n, k), 1e30, jnp.float32).at[sidx, qperm].set(
+        d2_s)
+    hit = (d2 <= (r * r)[:, None, None]) & (rows >= 0) & q_mask[..., None]
+    return jnp.maximum(rows, 0), hit
+
+
 @partial(jax.jit, static_argnames=("k", "chunk", "cell", "cell_cap"))
 def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
                             search_radius, k: int = 5, chunk: int = 512,
@@ -236,8 +291,6 @@ def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
     c, nv, _ = vox.xyz.shape
     center_xyz = vox.xyz[0]
     center_mask = vox.mask[0]
-    own_norms = jnp.linalg.norm(vox.xyz, axis=-1)  # distance to own LiDAR
-    own_norms = jnp.where(vox.mask, own_norms, 1e30)
 
     aligned = jax.vmap(lambda x, t: transform_points(x, t))(vox.xyz,
                                                             transforms)
@@ -247,6 +300,18 @@ def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
                     search_radius, k, chunk, cell, cell_cap)
 
     idx, hit = jax.vmap(search)(aligned, vox.mask)  # [C, Q, k]
+    return _assemble_groups(vox, idx, hit)
+
+
+def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
+                     hit: jax.Array) -> ColocationGroups:
+    """Group tables from per-cloud radius-KNN results (idx/hit [C, Q, k])."""
+    c, nv, _ = vox.xyz.shape
+    k = idx.shape[-1]
+    center_xyz = vox.xyz[0]
+    center_mask = vox.mask[0]
+    own_norms = jnp.linalg.norm(vox.xyz, axis=-1)  # distance to own LiDAR
+    own_norms = jnp.where(vox.mask, own_norms, 1e30)
 
     # member table: [Q, C*k] with global rows
     row_off = (jnp.arange(c, dtype=jnp.int32) * nv)[:, None, None]
@@ -294,10 +359,25 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
     radius_b = jnp.broadcast_to(jnp.asarray(search_radius,
                                             jnp.float32), (b,))
 
-    groups = jax.vmap(
-        lambda v, t, r: build_colocation_groups(v, t, r, k, chunk, cell,
-                                                cell_cap)
-    )(vox_b, transforms_b, radius_b)
+    from ..core.pallas_conv import pallas_available
+    if cell is not None and pallas_available():
+        # batched Mosaic search (S = B*C searches share one kernel launch)
+        aligned = jax.vmap(jax.vmap(transform_points))(vox_b.xyz,
+                                                       transforms_b)
+        queries = jnp.broadcast_to(vox_b.xyz[:, 0:1], (b, c, nv, 3))
+        q_mask = jnp.broadcast_to(vox_b.mask[:, 0:1], (b, c, nv))
+        radius_s = jnp.broadcast_to(radius_b[:, None], (b, c))
+        idx, hit = batched_grid_radius_knn(
+            queries.reshape(b * c, nv, 3), q_mask.reshape(b * c, nv),
+            aligned.reshape(b * c, nv, 3), vox_b.mask.reshape(b * c, nv),
+            radius_s.reshape(b * c), k, cell)
+        groups = jax.vmap(_assemble_groups)(
+            vox_b, idx.reshape(b, c, nv, k), hit.reshape(b, c, nv, k))
+    else:
+        groups = jax.vmap(
+            lambda v, t, r: build_colocation_groups(v, t, r, k, chunk,
+                                                    cell, cell_cap)
+        )(vox_b, transforms_b, radius_b)
 
     sample_off = (jnp.arange(b, dtype=jnp.int32) * (c * nv))[:, None, None]
     member_idx = jnp.where(groups.member_idx >= 0,

@@ -63,6 +63,56 @@ class TestRadiusKNN:
         np.testing.assert_array_equal(hit0, hit1)
         np.testing.assert_array_equal(idx0[hit0], idx1[hit1])
 
+    def test_windowed_cell_topk_matches_grid(self, rng):
+        """Mosaic batched cell-top-k (interpret mode) == grid search."""
+        from gcl_tpu.data.device_pipeline import (_OCTANT, _cell_key)
+        from gcl_tpu.core.pallas_radius import windowed_cell_topk
+        S, Q, T, k, cell = 3, 96, 120, 5, 1.0
+        radius = 0.5
+        q = (rng.randn(S, Q, 3) * 1.2).astype(np.float32)
+        t = (rng.randn(S, T, 3) * 1.2).astype(np.float32)
+        qm = rng.rand(S, Q) > 0.1
+        tm = rng.rand(S, T) > 0.1
+
+        # XLA prep identical to batched_grid_radius_knn
+        tkey, t_ok = _cell_key(jnp.floor(jnp.where(
+            jnp.asarray(tm)[..., None], jnp.asarray(t), 1e30) / cell
+        ).astype(jnp.int32), jnp.asarray(tm))
+        tx = jnp.where(t_ok[..., None], jnp.asarray(t), 1e30)
+        iota_t = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (S, T))
+        tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
+        txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
+        qx = jnp.where(jnp.asarray(qm)[..., None], jnp.asarray(q), -1e30)
+        qc = qx / cell
+        qcell = jnp.floor(qc).astype(jnp.int32)
+        step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
+        pc = (qcell[:, :, None, :]
+              + step[:, :, None, :] * _OCTANT[None, None, :, :])
+        probes, _ = _cell_key(pc, jnp.asarray(qm)[:, :, None])
+        iota_q = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (S, Q))
+        _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
+        probes_s = jnp.take_along_axis(probes, qperm[..., None], axis=1)
+        qxyz_s = jnp.take_along_axis(qx, qperm[..., None], axis=1)
+        r2 = jnp.full((S,), radius * radius, jnp.float32)
+
+        rows_s, d2_s = windowed_cell_topk(tkey_s, trow_s, txyz_s,
+                                          probes_s, qxyz_s, r2, k,
+                                          interpret=True)
+        sidx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, Q))
+        rows = np.asarray(jnp.zeros((S, Q, k), jnp.int32)
+                          .at[sidx, qperm].set(rows_s))
+        d2 = np.asarray(jnp.full((S, Q, k), 1e30, jnp.float32)
+                        .at[sidx, qperm].set(d2_s))
+        hit = (d2 <= radius * radius) & (rows >= 0) & qm[..., None]
+
+        for s in range(S):
+            i0, h0 = grid_radius_knn(
+                jnp.asarray(q[s]), jnp.asarray(qm[s]), jnp.asarray(t[s]),
+                jnp.asarray(tm[s]), radius, k, cell=cell, cell_cap=64)
+            i0, h0 = np.asarray(i0), np.asarray(h0)
+            np.testing.assert_array_equal(h0, hit[s])
+            np.testing.assert_array_equal(i0[h0], rows[s][hit[s]])
+
     def test_grid_clamps_radius_to_half_cell(self, rng):
         """A traced radius larger than cell/2 must be clamped, never
         produce false hits beyond the guaranteed-coverage range."""
