@@ -181,6 +181,17 @@ tpu_arg.add_argument("--pos_pair_capacity", type=int, default=1 << 21,
 tpu_arg.add_argument("--level_cap_shrink", type=float, default=0.6,
                      help="per-stride-level voxel capacity decay")
 tpu_arg.add_argument("--knn_chunk", type=int, default=1024)
+tpu_arg.add_argument(
+    "--search_cell", type=float, default=-1.0,
+    help="hash-grid cell for radius searches; -1 = auto (2x the largest "
+         "matching radius incl. scale augmentation), 0 = brute force")
+tpu_arg.add_argument("--search_cell_cap", type=int, default=8,
+                     help="max targets visible per hash-grid cell")
+tpu_arg.add_argument("--member_r_cap", type=int, default=32,
+                     help="reverse-membership index width (neg filter)")
+tpu_arg.add_argument("--profile_dir", type=str, default="",
+                     help="write a jax.profiler device trace of the first "
+                          "epoch here (view with tensorboard)")
 tpu_arg.add_argument("--compute_dtype", type=str, default="float32",
                      choices=["float32", "bfloat16"])
 tpu_arg.add_argument("--num_devices", type=int, default=0,

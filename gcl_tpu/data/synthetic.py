@@ -60,7 +60,13 @@ def generate_synthetic_kitti(root: str, n_drives=1, n_frames=60,
     v2c = velo2cam_T().T  # column-vector velo->cam
 
     for drive in range(n_drives):
-        world = _make_world(rng)
+        # world extent must cover the whole trajectory (n_frames * step),
+        # or late frames scan empty space and yield near-empty clouds
+        extent = max(120.0, n_frames * step + 60.0)
+        density = (extent / 120.0) ** 2
+        world = _make_world(rng, extent=extent,
+                            n_boxes=int(60 * density),
+                            ground_pts=int(4000 * density))
         seq = base / ("sequences/%02d" % drive)
         (seq / "velodyne").mkdir(parents=True, exist_ok=True)
 

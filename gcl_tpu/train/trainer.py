@@ -70,6 +70,14 @@ class AlignmentTrainer:
         n_flat = (config.voxel_capacity * self.clouds_per_sample
                   * self.batch_size)
         n_flat_side = config.voxel_capacity * self.batch_size
+        cell = getattr(config, "search_cell", -1.0)
+        if cell is not None and cell < 0:
+            # auto: 2x the largest matching radius (incl. max random scale)
+            mult = config.positive_pair_search_voxel_size_multiplier
+            scale = max(1.0, getattr(config, "max_scale", 1.0) or 1.0)
+            cell = 2.0 * config.voxel_size * mult * scale
+        if not cell:  # 0 / None -> brute force
+            cell = None
         self.step_cfg = StepConfig(
             voxel_size=config.voxel_size,
             nv_cap=config.voxel_capacity,
@@ -79,6 +87,9 @@ class AlignmentTrainer:
             corr_k=config.corr_k,
             pos_pair_cap=config.pos_pair_capacity,
             knn_chunk=config.knn_chunk,
+            search_cell=cell,
+            cell_cap=getattr(config, "search_cell_cap", 8),
+            member_r_cap=getattr(config, "member_r_cap", 32),
             momentum=config.momentum,
             weight_decay=config.weight_decay,
             compute_dtype=(jnp.bfloat16
@@ -93,6 +104,8 @@ class AlignmentTrainer:
             level_caps=default_level_caps(val_flat, strides,
                                           config.level_cap_shrink),
             corr_k=config.corr_k, knn_chunk=config.knn_chunk,
+            search_cell=self.step_cfg.search_cell,
+            cell_cap=self.step_cfg.cell_cap,
             compute_dtype=self.step_cfg.compute_dtype)
 
         self.model = model_cls(
@@ -183,10 +196,17 @@ class AlignmentTrainer:
     def train(self):
         if self.test_valid:
             self._val_fns()  # build early so failures surface
+        profile_dir = getattr(self.config, "profile_dir", "") or ""
         for epoch in range(self.start_epoch, self.max_epoch + 1):
             lr = self.lr_at(epoch)
             logging.info(f" Epoch: {epoch}, LR: {lr}")
-            self._train_epoch(epoch)
+            if profile_dir and epoch == self.start_epoch:
+                # xprof-compatible device trace of the first (post-compile)
+                # epoch: view with tensorboard --logdir <profile_dir>
+                with jax.profiler.trace(profile_dir):
+                    self._train_epoch(epoch)
+            else:
+                self._train_epoch(epoch)
             self._save_checkpoint(epoch)
 
             if self.test_valid and epoch % self.val_epoch_freq == 0:
