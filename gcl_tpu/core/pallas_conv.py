@@ -8,15 +8,24 @@ property of the kernel maps built by kernel_maps.build_graph: both the
 in- and out-level coordinate arrays are (cloud, x, y, z)-key sorted, so
 for every kernel offset k the gather table kmap[k, :] is monotone
 non-decreasing over its valid entries. A tile of consecutive outputs
-therefore reads a CONTIGUOUS WINDOW of input rows, shared by all K
-offsets (offsets displace the window by at most a few key-order slabs):
+therefore reads a CONTIGUOUS WINDOW of input rows.
 
-  per output tile, per window chunk (chunk count is dynamic, usually 1):
-    1. ONE DMA x[start : start + W] from HBM into VMEM;
-    2. for each offset k: "gather" inside VMEM as
-       onehot(idx_k - start) @ window on the MXU — exact, each one-hot
-       row holds a single 1.0 — and accumulate @ W[k] into a VMEM-resident
-       f32 accumulator.
+Offsets are processed in dx-GROUPS (kernel_offsets enumerates x-major,
+so rows [g*k^2, (g+1)*k^2) share one dx): offsets within a group differ
+only in (dy, dz), which displace the matched row by a few z-runs, while
+dx displaces it by a whole x-slab (~0.5-1.5 TILEs at KITTI scale).
+Per-group windows are therefore ~2-4x tighter than one window shared by
+all K offsets (measured: k=3 same-level window 574 -> 258 rows median,
+k=5 904 -> 259 at TILE=256) — and window width is exactly the per-output
+MXU/VPU cost of the one-hot gather.
+
+  per output tile, per dx-group (double-buffered), per window chunk
+  (chunk count is dynamic, usually 1):
+    1. ONE DMA x[start_g : start_g + W] from HBM into VMEM;
+    2. for each offset k of the group: "gather" inside VMEM as
+       onehot(idx_k - start_g) @ window on the MXU — exact, each one-hot
+       row holds a single 1.0 — and accumulate @ W[k] into a
+       VMEM-resident f32 accumulator.
 
 Missing entries (idx == n_in) hit the appended zero rows or fall outside
 every executed chunk — either way they contribute exactly zero, matching
@@ -41,95 +50,106 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256      # output rows per grid step
-WIN = 512       # input rows per DMA window (multiple of 8)
+WIN = 384       # input rows per DMA window (multiple of 8)
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def compute_windows(idx: jax.Array, n_in_pad: int,
-                    n_tiles: int) -> Tuple[jax.Array, jax.Array]:
-    """Per-tile shared window start + chunk count, in plain XLA.
+def num_offset_groups(k: int) -> int:
+    """dx-groups of a K=g^3 offset table (kernel_offsets is x-major)."""
+    g = round(k ** (1 / 3))
+    return g if g >= 2 and g ** 3 == k else 1
+
+
+def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
+                    groups: int = 1, align: int = 8
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Per-(group, tile) shared window start + chunk count, in plain XLA.
 
     idx: int32[K, N_out_pad] routed gather table (missing == n_in).
     Window [start, start + nch*WIN) covers every valid entry of every
-    offset for that tile; starts are clamped so reads stay inside the
-    zero-padded x (length n_in_pad).
+    offset in the group for that tile; starts are pre-aligned to `align`
+    (the kernel's DMA alignment — nch must account for it) and clamped so
+    reads stay inside the zero-padded x (length >= n_in_pad).
     """
     k, n_out_pad = idx.shape
     n_in = n_in_pad - WIN
-    idx_t = idx.reshape(k, n_tiles, TILE)
+    idx_t = idx.reshape(groups, k // groups, n_tiles, TILE)
     valid = idx_t < n_in
-    lo = jnp.min(jnp.where(valid, idx_t, jnp.int32(2 ** 30)), axis=(0, 2))
-    hi = jnp.max(jnp.where(valid, idx_t, -1), axis=(0, 2))
+    lo = jnp.min(jnp.where(valid, idx_t, jnp.int32(2 ** 30)), axis=(1, 3))
+    hi = jnp.max(jnp.where(valid, idx_t, -1), axis=(1, 3))  # [G, nt]
     any_valid = hi >= 0
     start = jnp.where(any_valid, lo, 0)
-    start = start & ~7  # Mosaic dynamic slices must be sublane-aligned
+    start = start & ~(align - 1)
     start = jnp.clip(start, 0, n_in_pad - WIN)
     nch = jnp.where(any_valid, _cdiv(hi - start + 1, WIN), 0)
     nch = jnp.clip(nch, 0, _cdiv(n_in_pad, WIN))
     return start.astype(jnp.int32), nch.astype(jnp.int32)
 
 
-def _chunk0_dma(starts_ref, x_hbm, win_ref, sems, tile, slot):
-    """DMA of a tile's first window chunk into double-buffer `slot`."""
-    base = pl.multiple_of(starts_ref[tile] & ~7, 8)
-    return pltpu.make_async_copy(
-        x_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
-
-
 def _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, dt):
-    """Double-buffered window pipeline shared by the fwd and dW kernels.
+                     win2_ref, sems, K, G, dt):
+    """Double-buffered per-group window pipeline shared by the fwd and dW
+    kernels.
 
-    Chunk 0 of tile i+1 is DMA'd while tile i computes (grid steps run
-    sequentially on TPU, so the buffer just freed by step i-1 is safe to
-    overwrite). Extra chunks (window span > WIN, e.g. at cloud
-    boundaries) run synchronously off a third buffer — rare.
+    starts_ref/nch_ref are [G, n_tiles]. The (tile, group) sequence runs
+    tile-major; the next window in the sequence is DMA'd while the
+    current one computes (grid steps run sequentially on TPU, so the
+    buffer freed by sequence step s-1 is safe to overwrite at s+1).
+    Extra chunks (group window span > WIN — rare with per-dx windows) run
+    synchronously off a third buffer.
 
-    body(k, oh) is called for every offset k with the one-hot gather
+    body(k, oh, win) is called for every offset k with the one-hot gather
     matrix of the current chunk.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
+    kg = K // G
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
-    s0 = starts_ref[i] & ~7
-    nc = nch_ref[i]
+
+    def dma(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile] & ~7, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
 
     @pl.when(i == 0)
     def _():
-        _chunk0_dma(starts_ref, x_hbm, win_ref, sems, 0, 0).start()
+        dma(0, i, 0).start()
 
-    @pl.when(i + 1 < n)
-    def _():
-        _chunk0_dma(starts_ref, x_hbm, win_ref, sems, i + 1,
-                    1 - slot).start()
-
-    _chunk0_dma(starts_ref, x_hbm, win_ref, sems, i, slot).wait()
-    win = win_ref[slot]
-    for k in range(K):
-        oh = ((idx_ref[k, :][:, None] - s0) == iota).astype(dt)
-        body(k, oh, win)
-
-    def extra(c, carry):
-        base = pl.multiple_of(s0 + c * WIN, 8)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(base, WIN), :], win2_ref, sems.at[2])
-        dma.start()
-        dma.wait()
-        win = win2_ref[:, :]
-        for k in range(K):
-            oh = ((idx_ref[k, :][:, None] - base) == iota).astype(dt)
+    for g in range(G):
+        slot = jax.lax.rem(i * G + g, 2)
+        if g + 1 < G:
+            dma(g + 1, i, 1 - slot).start()
+        else:
+            @pl.when(i + 1 < n)
+            def _():
+                dma(0, i + 1, 1 - slot).start()
+        dma(g, i, slot).wait()
+        win = win_ref[slot]
+        s0 = starts_ref[g, i] & ~7
+        for k in range(g * kg, (g + 1) * kg):
+            oh = ((idx_ref[k, :][:, None] - s0) == iota).astype(dt)
             body(k, oh, win)
-        return carry
 
-    jax.lax.fori_loop(1, nc, extra, 0)
+        def extra(c, carry):
+            base = pl.multiple_of(s0 + c * WIN, 8)
+            dma2 = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(base, WIN), :], win2_ref, sems.at[2])
+            dma2.start()
+            dma2.wait()
+            w2 = win2_ref[:, :]
+            for k in range(g * kg, (g + 1) * kg):
+                oh = ((idx_ref[k, :][:, None] - base) == iota).astype(dt)
+                body(k, oh, w2)
+            return carry
+
+        jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
 
 
 def _fwd_kernel(starts_ref, nch_ref, idx_ref, w_ref, x_hbm, out_ref,
-                win_ref, win2_ref, acc_ref, sems, *, K, mm_precision):
+                win_ref, win2_ref, acc_ref, sems, *, K, G, mm_precision):
     dt = win2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -141,12 +161,12 @@ def _fwd_kernel(starts_ref, nch_ref, idx_ref, w_ref, x_hbm, out_ref,
                                  precision=mm_precision)
 
     _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, dt)
+                     win2_ref, sems, K, G, dt)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_kernel(starts_ref, nch_ref, idx_ref, g_ref, x_hbm, dw_ref,
-               win_ref, win2_ref, sems, *, K, mm_precision):
+               win_ref, win2_ref, sems, *, K, G, mm_precision):
     i = pl.program_id(0)
     dt = win2_ref.dtype
 
@@ -164,11 +184,11 @@ def _dw_kernel(starts_ref, nch_ref, idx_ref, g_ref, x_hbm, dw_ref,
             precision=mm_precision)
 
     _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, dt)
+                     win2_ref, sems, K, G, dt)
 
 
 def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
-                   win_ref, sem, *, K):
+                   win_ref, sem, *, K, G):
     """Cin == 1 forward (ResUNet conv1 on occupancy features).
 
     The generic kernel would pad the single channel to 128 MXU lanes
@@ -177,30 +197,33 @@ def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
     is an outer-product accumulate: acc += g_k[:, None] * W[k, 0, :].
     """
     i = pl.program_id(0)
-    s0 = starts_ref[i] & ~127
-    nc = nch_ref[i]
+    kg = K // G
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
-    def chunk(c, acc):
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        dma = pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-        dma.start()
-        dma.wait()
-        xw = win_ref[0:1, :]  # [1, W] f32 scalar features
-        for k in range(K):
-            oh = (idx_ref[k, :][:, None] - base) == iota
-            g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
-            acc = acc + g_k[:, None] * w2_ref[k, :][None, :]
-        return acc
-
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, nc, chunk, acc)
+    for g in range(G):
+        s0 = starts_ref[g, i]
+        nc = nch_ref[g, i]
+
+        def chunk(c, acc, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            dma = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
+            dma.start()
+            dma.wait()
+            xw = win_ref[0:1, :]  # [1, W] f32 scalar features
+            for k in range(g * kg, (g + 1) * kg):
+                oh = (idx_ref[k, :][:, None] - base) == iota
+                g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
+                acc = acc + g_k[:, None] * w2_ref[k, :][None, :]
+            return acc
+
+        acc = jax.lax.fori_loop(0, nc, chunk, acc)
     out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
 def _fwd_co1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, gt_hbm, out_ref,
-                    win_ref, sem, *, K, C):
+                    win_ref, sem, *, K, G, C):
     """Cout == 1 forward (dX of a Cin==1 conv through reverse maps).
 
     out[j] = sum_k gather(g, ridx_k)[j] @ W[k]  with W[k] a [C, 1]
@@ -209,36 +232,38 @@ def _fwd_co1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, gt_hbm, out_ref,
     masked row-sum — no 128x output padding.
     """
     i = pl.program_id(0)
-    s0 = starts_ref[i] & ~127
-    nc = nch_ref[i]
+    kg = K // G
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
-    def chunk(c, acc):
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        dma = pltpu.make_async_copy(
-            gt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-        dma.start()
-        dma.wait()
-        yt = jnp.dot(w2_ref[:, :], win_ref[:, :].astype(jnp.float32),
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [K, W]
-        for k in range(K):
-            oh = (idx_ref[k, :][:, None] - base) == iota
-            acc = acc + jnp.sum(jnp.where(oh, yt[k:k + 1, :], 0.0),
-                                axis=1)[:, None]
-        return acc
-
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    acc = jax.lax.fori_loop(0, nc, chunk, acc)
+    for g in range(G):
+        s0 = starts_ref[g, i]
+        nc = nch_ref[g, i]
+
+        def chunk(c, acc, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            dma = pltpu.make_async_copy(
+                gt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
+            dma.start()
+            dma.wait()
+            yt = jnp.dot(w2_ref[:, :], win_ref[:, :].astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [K, W]
+            for k in range(g * kg, (g + 1) * kg):
+                oh = (idx_ref[k, :][:, None] - base) == iota
+                acc = acc + jnp.sum(jnp.where(oh, yt[k:k + 1, :], 0.0),
+                                    axis=1)[:, None]
+            return acc
+
+        acc = jax.lax.fori_loop(0, nc, chunk, acc)
     out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
 def _dw_c1_kernel(starts_ref, nch_ref, idx_ref, g_ref, xt_hbm, dw_ref,
-                  win_ref, sem, *, K):
+                  win_ref, sem, *, K, G):
     """Cin == 1 dW: dW[k, 0, :] = sum_i x[idx[k, i]] * g[i, :]."""
     i = pl.program_id(0)
-    s0 = starts_ref[i] & ~127
-    nc = nch_ref[i]
+    kg = K // G
     iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
     @pl.when(i == 0)
@@ -247,20 +272,24 @@ def _dw_c1_kernel(starts_ref, nch_ref, idx_ref, g_ref, xt_hbm, dw_ref,
 
     gt = g_ref[:, :].astype(jnp.float32)  # [TILE, COUT]
 
-    def chunk(c, carry):
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        dma = pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-        dma.start()
-        dma.wait()
-        xw = win_ref[0:1, :]
-        for k in range(K):
-            oh = (idx_ref[k, :][:, None] - base) == iota
-            g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
-            dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
-        return carry
+    for g in range(G):
+        s0 = starts_ref[g, i]
+        nc = nch_ref[g, i]
 
-    jax.lax.fori_loop(0, nc, chunk, 0)
+        def chunk(c, carry, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            dma = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
+            dma.start()
+            dma.wait()
+            xw = win_ref[0:1, :]
+            for k in range(g * kg, (g + 1) * kg):
+                oh = (idx_ref[k, :][:, None] - base) == iota
+                g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
+                dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
+            return carry
+
+        jax.lax.fori_loop(0, nc, chunk, 0)
 
 
 def _prep_t(col: jax.Array, n_in: int):
@@ -305,13 +334,15 @@ def _pad_idx(idx, n_in):
 def _conv_c1_fwd(feats, weights, idx, interpret):
     n_in = feats.shape[0]
     k, n_out = idx.shape
+    grp = num_offset_groups(k)
     cout0 = weights.shape[-1]
     idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles)
+    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
+                                  align=128)
     xt = _prep_t(feats[:, 0], n_in)
     w2 = weights[:, 0, :].astype(jnp.float32)
 
-    kern = functools.partial(_fwd_c1_kernel, K=k)
+    kern = functools.partial(_fwd_c1_kernel, K=k, G=grp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -341,13 +372,15 @@ def _conv_c1_fwd(feats, weights, idx, interpret):
 def _conv_co1_fwd(feats, weights, idx, interpret):
     n_in, c0 = feats.shape
     k, n_out = idx.shape
+    grp = num_offset_groups(k)
     idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles)
+    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
+                                  align=128)
     t_pad = _cdiv(n_in + WIN, WIN) * WIN
     gt = jnp.zeros((c0, t_pad), feats.dtype).at[:, :n_in].set(feats.T)
     w2 = weights[:, :, 0].astype(jnp.float32)
 
-    kern = functools.partial(_fwd_co1_kernel, K=k, C=c0)
+    kern = functools.partial(_fwd_co1_kernel, K=k, G=grp, C=c0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -376,13 +409,15 @@ def _conv_co1_fwd(feats, weights, idx, interpret):
 def _conv_c1_dw(feats, g, idx, interpret):
     n_in = feats.shape[0]
     k, n_out = idx.shape
+    grp = num_offset_groups(k)
     cout0 = g.shape[-1]
     idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles)
+    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
+                                  align=128)
     xt = _prep_t(feats[:, 0], n_in)
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out), (0, 0)))
 
-    kern = functools.partial(_dw_c1_kernel, K=k)
+    kern = functools.partial(_dw_c1_kernel, K=k, G=grp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -412,19 +447,20 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
     """out[i] = sum_k x[idx[k, i]] @ W[k]; idx routed (missing == n_in)."""
     n_in, c0 = feats.shape
     k, n_out = idx.shape
+    grp = num_offset_groups(k)
     cout0 = weights.shape[-1]
     if c0 == 1:
         return _conv_c1_fwd(feats, weights, idx, interpret)
     if cout0 == 1:
         return _conv_co1_fwd(feats, weights, idx, interpret)
     xp, idxp, n_in_pad, n_tiles = _prep(feats, idx)
-    starts, nch = compute_windows(idxp, n_in_pad, n_tiles)
+    starts, nch = compute_windows(idxp, n_in_pad, n_tiles, groups=grp)
     c = xp.shape[1]
     cout = _cdiv(max(cout0, 1), 128) * 128
     wd = jnp.pad(weights.astype(feats.dtype),
                  ((0, 0), (0, c - c0), (0, cout - cout0)))
 
-    kern = functools.partial(_fwd_kernel, K=k,
+    kern = functools.partial(_fwd_kernel, K=k, G=grp,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -452,7 +488,7 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * n_tiles * TILE * WIN * c
             + 2 * k * n_tiles * TILE * c * cout,
-            bytes_accessed=(n_tiles * WIN * c * feats.dtype.itemsize
+            bytes_accessed=(n_tiles * grp * WIN * c * feats.dtype.itemsize
                             + n_tiles * TILE * cout * 4),
             transcendentals=0,
         ),
@@ -468,15 +504,16 @@ def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
         return _conv_c1_dw(feats, g, idx, interpret)
     n_in, c0 = feats.shape
     k, n_out = idx.shape
+    grp = num_offset_groups(k)
     cout0 = g.shape[-1]
     xp, idxp, n_in_pad, n_tiles = _prep(feats, idx)
-    starts, nch = compute_windows(idxp, n_in_pad, n_tiles)
+    starts, nch = compute_windows(idxp, n_in_pad, n_tiles, groups=grp)
     c = xp.shape[1]
     cout = _cdiv(max(cout0, 1), 128) * 128
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
                      (0, cout - cout0))).astype(feats.dtype)
 
-    kern = functools.partial(_dw_kernel, K=k,
+    kern = functools.partial(_dw_kernel, K=k, G=grp,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

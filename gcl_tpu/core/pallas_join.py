@@ -13,12 +13,19 @@ both by exploiting order that is already there:
     array, and the window start/length comes from a cheap binary search
     of the tile's boundary keys (2 searches per tile, done in XLA).
 
-Per grid step (one query tile, all K offsets):
+Offsets are windowed in dx-GROUPS (kernel_offsets enumerates x-major):
+offsets sharing a dx differ only by a few z-runs in matched position,
+while different dx values straddle a whole x-slab. Per-group windows are
+2-4x tighter than one shared window (k=3 same-level: 574 -> 258 rows
+median at TILE=256), and window width is exactly the per-query VPU
+compare cost.
+
+Per grid step (one query tile), per dx-group, per window chunk:
   1. ONE DMA of the stacked target window [3, W] (key_hi, key_lo, row)
-     HBM -> VMEM (chunked when a tile's span exceeds W — rare);
-  2. per offset k: eq = (qhi == thi_win) & (qlo == tlo_win) on the VPU;
-     matched row + 1 = eq_f32 @ (trow_win + 1) on the MXU (rows < 2^24,
-     so f32 is exact; no match -> 0);
+     HBM -> VMEM (chunked when a group's span exceeds W — rare);
+  2. per offset k of the group: eq = (qhi == thi_win) & (qlo == tlo_win)
+     on the VPU; matched row + 1 = sum(where(eq, trow + 1, 0)) — keys
+     are unique within a level, so at most one lane matches;
   3. write kmap rows in query order — NO scatter.
 
 Sentinel queries (padding / off-lattice / out-of-range) carry the max
@@ -36,8 +43,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_conv import num_offset_groups
+
 TILE = 256   # queries per grid step
-WIN = 512    # target window rows per DMA chunk (multiple of 128)
+WIN = 384    # target window rows per DMA chunk (multiple of 128)
 
 _SENTINEL = jnp.int32(0x7FFFFFFF)
 
@@ -47,32 +56,36 @@ def _cdiv(a, b):
 
 
 def _join_kernel(starts_ref, nch_ref, qhi_ref, qlo_ref, tgt_hbm, out_ref,
-                 win_ref, sem, *, K):
+                 win_ref, sem, *, K, G):
     i = pl.program_id(0)
-    s0 = starts_ref[i] & ~127
-    nc = nch_ref[i]
+    kg = K // G
 
-    def chunk(c, acc):
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        dma = pltpu.make_async_copy(
-            tgt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-        dma.start()
-        dma.wait()
-        thi = win_ref[0, :][None, :]
-        tlo = win_ref[1, :][None, :]
-        trow1 = (win_ref[2, :] + 1).astype(jnp.float32)  # [W]
-        rows = []
-        for k in range(K):
-            eq = ((qhi_ref[k, :][:, None] == thi)
-                  & (qlo_ref[k, :][:, None] == tlo))
-            rows.append(jnp.dot(eq.astype(jnp.float32), trow1,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST))
-        return acc + jnp.stack(rows)  # [K, TILE]
+    for g in range(G):
+        s0 = starts_ref[g, i]
+        nc = nch_ref[g, i]
 
-    acc = jnp.zeros((K, TILE), jnp.float32)
-    acc = jax.lax.fori_loop(0, nc, chunk, acc)
-    out_ref[:, :] = acc.astype(jnp.int32) - 1
+        def chunk(c, acc, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            dma = pltpu.make_async_copy(
+                tgt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
+            dma.start()
+            dma.wait()
+            thi = win_ref[0, :][None, :]
+            tlo = win_ref[1, :][None, :]
+            trow1 = win_ref[2, :][None, :] + 1  # [1, W] int32
+            rows = []
+            for k in range(g * kg, (g + 1) * kg):
+                eq = ((qhi_ref[k, :][:, None] == thi)
+                      & (qlo_ref[k, :][:, None] == tlo))
+                # masked VPU row-sum: keys are unique per level, so at
+                # most one lane matches (an MXU matvec here would pad
+                # 1 -> 128 output lanes)
+                rows.append(jnp.sum(jnp.where(eq, trow1, 0), axis=1))
+            return acc + jnp.stack(rows)  # [kg, TILE]
+
+        acc = jax.lax.fori_loop(0, nc, chunk,
+                                jnp.zeros((kg, TILE), jnp.int32))
+        out_ref[g * kg:(g + 1) * kg, :] = acc - 1
 
 
 def _lex_min(h1, l1, h2, l2):
@@ -96,6 +109,8 @@ def join_kmap(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
     from .coords import searchsorted2
 
     k, n_out = qhi.shape
+    grp = num_offset_groups(k)
+    kg = k // grp
     t_cap = key_hi.shape[0]
     n_tiles = _cdiv(n_out, TILE)
     pad = n_tiles * TILE - n_out
@@ -103,9 +118,9 @@ def join_kmap(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
         qhi = jnp.pad(qhi, ((0, 0), (0, pad)), constant_values=_SENTINEL)
         qlo = jnp.pad(qlo, ((0, 0), (0, pad)), constant_values=_SENTINEL)
 
-    # Per-tile lex min/max over VALID queries of all offsets. Each
-    # offset's valid subsequence is globally monotone (keys are
-    # cloud-major and per-cloud blocks are sorted), so the first/last
+    # Per-(group, tile) lex min/max over VALID queries of the group's
+    # offsets. Each offset's valid subsequence is globally monotone (keys
+    # are cloud-major and per-cloud blocks are sorted), so the first/last
     # valid element of a tile bound its whole valid range; sentinel
     # padding between cloud blocks must NOT enter the bounds or boundary
     # tiles would window over the entire pad region.
@@ -125,24 +140,29 @@ def join_kmap(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
     hi_l = jnp.where(any_valid_k, take(qlo_t, last), jnp.int32(-2 ** 31))
 
     def red(f, h, l):
-        rh, rl = h[0], l[0]
-        for j in range(1, k):
-            rh, rl = f(rh, rl, h[j], l[j])
+        # [k, nt] -> [grp, nt], reducing over the kg offsets of each group
+        h = h.reshape(grp, kg, n_tiles)
+        l = l.reshape(grp, kg, n_tiles)
+        rh, rl = h[:, 0], l[:, 0]
+        for j in range(1, kg):
+            rh, rl = f(rh, rl, h[:, j], l[:, j])
         return rh, rl
 
     min_h, min_l = red(_lex_min, lo_h, lo_l)
     max_h, max_l = red(_lex_max, hi_h, hi_l)
-    tile_any = jnp.any(any_valid_k, axis=0)  # [n_tiles]
+    grp_any = jnp.any(any_valid_k.reshape(grp, kg, n_tiles), axis=1)
 
-    start = searchsorted2(key_hi, key_lo, min_h, min_l)
-    end = searchsorted2(key_hi, key_lo, max_h, max_l)
+    start = searchsorted2(key_hi, key_lo, min_h.reshape(-1),
+                          min_l.reshape(-1)).reshape(grp, n_tiles)
+    end = searchsorted2(key_hi, key_lo, max_h.reshape(-1),
+                        max_l.reshape(-1)).reshape(grp, n_tiles)
     start = (start & ~127).astype(jnp.int32)  # lane-aligned DMA
     # window must include position `end` (the lower bound of the max key)
     t_pad = _cdiv(t_cap, WIN) * WIN + WIN
     start = jnp.clip(start, 0, t_pad - WIN)
     nch = jnp.clip(_cdiv(jnp.minimum(end, t_cap - 1) - start + 2, WIN),
                    1, _cdiv(t_pad, WIN))
-    nch = jnp.where(tile_any, nch, 0).astype(jnp.int32)
+    nch = jnp.where(grp_any, nch, 0).astype(jnp.int32)
 
     # stacked sorted target array [4, t_pad]: key_hi | key_lo | row | 0
     # (4 sublanes so Mosaic can slice the full leading dim). Padding:
@@ -154,7 +174,7 @@ def join_kmap(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
         jnp.zeros((t_pad,), jnp.int32),
     ])
 
-    kern = functools.partial(_join_kernel, K=k)
+    kern = functools.partial(_join_kernel, K=k, G=grp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
