@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coords import coord_keys, kernel_offsets, lookup, sort_by_keys
-from .types import INVALID_BATCH, LevelCoords, SparseGraph, map_key
+from .types import (INVALID_BATCH, FusedMap, LevelCoords, SparseGraph,
+                    map_key)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +72,37 @@ def _index_level(coords: jax.Array, mask: jax.Array,
     return LevelCoords(coords, mask, hi_s, lo_s, perm)
 
 
+_SEN = jnp.int32(0x7FFFFFFF)
+
+
+def _index_level_sorted(coords: jax.Array, mask: jax.Array) -> LevelCoords:
+    """Sorted-key index of level-0 coords that are ALREADY cloud-blocked
+    and per-cloud key-sorted (voxelize_per_cloud output: ascending cloud
+    blocks, each key-sorted, padding inline at block tails).
+
+    The globally-sorted view is then just the valid rows compacted to the
+    front — one cumsum + scatter instead of an O(N log N) sort.
+    """
+    hi, lo = coord_keys(coords, 1)
+    n = coords.shape[0]
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask, slot, n)
+    khi = jnp.full((n + 1,), _SEN, jnp.int32).at[slot].set(
+        hi, mode="drop")[:n]
+    klo = jnp.full((n + 1,), _SEN, jnp.int32).at[slot].set(
+        lo, mode="drop")[:n]
+    perm = jnp.full((n + 1,), n - 1, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:n]
+    return LevelCoords(coords, mask, khi, klo, perm)
+
+
+# NOTE: lex order is NOT preserved under per-component floor division
+# ((x=-6,y=6) < (x=-5,y=2) but both map to x//2=-3 with y descending), so
+# coarse keys of the sorted fine keys are NOT sorted — downsampling needs
+# its own sort. Only the compacted OUTPUT of that sort is key-ordered,
+# which lets _downsample_level skip a second indexing sort.
+
+
 def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
                       cap: int) -> LevelCoords:
     """Unique coords at `stride` derived from level-0 coordinates.
@@ -95,7 +127,14 @@ def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
     out = jnp.full((cap + 1, 4), -1, jnp.int32).at[:, 0].set(INVALID_BATCH)
     out = out.at[slot].set(coords_s, mode="drop")[:cap]
     out_mask = out[:, 0] != INVALID_BATCH
-    return _index_level(out, out_mask, stride)
+    # the compaction is in coarse-key-sorted order, so the key index
+    # needs no second sort: scatter the sorted keys, perm = identity
+    okhi = jnp.full((cap + 1,), _SEN, jnp.int32).at[slot].set(
+        hi_s, mode="drop")[:cap]
+    oklo = jnp.full((cap + 1,), _SEN, jnp.int32).at[slot].set(
+        lo_s, mode="drop")[:cap]
+    perm = jnp.arange(cap, dtype=jnp.int32)
+    return LevelCoords(out, out_mask, okhi, oklo, perm)
 
 
 def _build_kmap_sortjoin(out_level: LevelCoords, in_level: LevelCoords,
@@ -196,6 +235,131 @@ def _build_kmap_pallas(out_level: LevelCoords, in_level: LevelCoords,
                      qh, ql, interpret=interpret)
 
 
+def _fold_clouds(coords: jax.Array) -> jax.Array:
+    """Fold the cloud id into [0, 31) for packed keys (PAD_CLOUD = 31 is
+    reserved). Conv windows only ever span ADJACENT clouds (both query
+    rows and target rows are cloud-major), so cloud ids 31 apart can
+    never be co-windowed and the fold keeps packed keys collision-free
+    for any batch size."""
+    c = coords[:, 0]
+    fc = jnp.where(c >= INVALID_BATCH, c, c % 31)
+    return jnp.concatenate([fc[:, None], coords[:, 1:]], axis=1)
+
+
+def _level_tkeys(level: LevelCoords, stride: int, t_pad: int) -> jax.Array:
+    """[8, t_pad] stacked packed keys of a level in ORIGINAL row order
+    (row 0; rows 1-7 zero) for the fused conv kernels' key windows."""
+    from .coords import pack_keys
+
+    pk = pack_keys(_fold_clouds(level.coords), stride)
+    # tail pad: PAD_CLOUD base — never equals a (bit-26-set) pad query
+    # key nor a valid (cloud < 31) key
+    pad_const = jnp.int32(np.int64(31 << 27) - (1 << 32))
+    tk = jnp.full((8, t_pad), pad_const, jnp.int32)
+    return tk.at[0, :pk.shape[0]].set(pk)
+
+
+def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
+                   in_stride: int, offsets: np.ndarray, t_pad: int):
+    """Per-(dx-group, output-tile) input window start/chunk-count for the
+    fused conv kernels, from coordinate keys.
+
+    Same geometry as the merge-join preamble: per-offset query keys are
+    monotone over the sorted outputs, so a tile's bounds come from its
+    first/last VALID query; bounds are group-reduced, binary-searched in
+    the input level's sorted key index, and mapped to ORIGINAL row space
+    through the level permutation (which is increasing on the valid
+    prefix: original rows are cloud-major with per-cloud key order).
+    """
+    from .coords import searchsorted2
+    from .pallas_conv import TILE, WIN, num_offset_groups
+
+    sen = jnp.int32(0x7FFFFFFF)
+    qhi, qlo = _query_keys(out_level, in_stride, offsets)
+    k, n_out = qhi.shape
+    grp = num_offset_groups(k)
+    kg = k // grp
+    n_tiles = -(-n_out // TILE)
+    pad = n_tiles * TILE - n_out
+    if pad:
+        qhi = jnp.pad(qhi, ((0, 0), (0, pad)), constant_values=sen)
+        qlo = jnp.pad(qlo, ((0, 0), (0, pad)), constant_values=sen)
+    qhi_t = qhi.reshape(k, n_tiles, TILE)
+    qlo_t = qlo.reshape(k, n_tiles, TILE)
+    valid_t = qhi_t != sen
+    any_k = jnp.any(valid_t, axis=2)
+    first = jnp.argmax(valid_t, axis=2)
+    last = TILE - 1 - jnp.argmax(valid_t[:, :, ::-1], axis=2)
+
+    def take(arr, pos):
+        return jnp.take_along_axis(arr, pos[:, :, None], axis=2)[:, :, 0]
+
+    lo_h = jnp.where(any_k, take(qhi_t, first), sen)
+    lo_l = jnp.where(any_k, take(qlo_t, first), sen)
+    hi_h = jnp.where(any_k, take(qhi_t, last), jnp.int32(-2 ** 31))
+    hi_l = jnp.where(any_k, take(qlo_t, last), jnp.int32(-2 ** 31))
+
+    def lex_min(h1, l1, h2, l2):
+        t = (h1 < h2) | ((h1 == h2) & (l1 <= l2))
+        return jnp.where(t, h1, h2), jnp.where(t, l1, l2)
+
+    def lex_max(h1, l1, h2, l2):
+        t = (h1 > h2) | ((h1 == h2) & (l1 >= l2))
+        return jnp.where(t, h1, h2), jnp.where(t, l1, l2)
+
+    def red(f, h, l):
+        h = h.reshape(grp, kg, n_tiles)
+        l = l.reshape(grp, kg, n_tiles)
+        rh, rl = h[:, 0], l[:, 0]
+        for j in range(1, kg):
+            rh, rl = f(rh, rl, h[:, j], l[:, j])
+        return rh, rl
+
+    min_h, min_l = red(lex_min, lo_h, lo_l)
+    max_h, max_l = red(lex_max, hi_h, hi_l)
+    grp_any = jnp.any(any_k.reshape(grp, kg, n_tiles), axis=1)
+
+    n = in_level.key_hi.shape[0]
+    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
+    pos_lo = searchsorted2(in_level.key_hi, in_level.key_lo,
+                           min_h.reshape(-1), min_l.reshape(-1))
+    pos_hi = searchsorted2(in_level.key_hi, in_level.key_lo,
+                           max_h.reshape(-1), max_l.reshape(-1))
+    has = grp_any.reshape(-1) & (pos_lo < n_valid)
+    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
+    row_hi = in_level.perm[jnp.clip(jnp.minimum(pos_hi, n_valid - 1),
+                                    0, n - 1)]
+    start = jnp.clip(row_lo & ~127, 0, max(t_pad - WIN, 0))
+    nch = jnp.where(has, -(-(row_hi - start + 1) // WIN), 0)
+    nch = jnp.clip(nch, 0, t_pad // WIN)
+    return (start.reshape(grp, n_tiles).astype(jnp.int32),
+            nch.reshape(grp, n_tiles).astype(jnp.int32))
+
+
+def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
+    """FusedMap per unique conv geometry (qkey + windows + level keys)."""
+    from .coords import pack_query_keys
+    from .pallas_conv import WIN
+
+    tkeys = {}
+    for s, lv in levels.items():
+        t_pad = -(-(lv.coords.shape[0] + WIN) // 128) * 128
+        tkeys[s] = _level_tkeys(lv, s, t_pad)
+
+    fused: Dict[str, FusedMap] = {}
+    for sp in specs:
+        offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
+        out_l, in_l = levels[sp.out_stride], levels[sp.in_stride]
+        folded = _fold_clouds(out_l.coords)
+        qk = jax.vmap(
+            lambda o: pack_query_keys(folded, o, sp.in_stride)
+        )(jnp.asarray(offsets))
+        starts, nch = _fused_windows(out_l, in_l, sp.in_stride, offsets,
+                                     tkeys[sp.in_stride].shape[1])
+        fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride])
+    return fused
+
+
 def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,
                 in_stride: int, offsets: np.ndarray) -> jax.Array:
     """Gather table: kmap[k, i] = row of in_level at out_coords[i]+off[k]."""
@@ -223,7 +387,8 @@ def build_graph(coords: jax.Array, mask: jax.Array,
                 specs: Sequence[ConvSpec],
                 level_caps: Dict[int, int],
                 method: str = "auto",
-                key_bits=None) -> SparseGraph:
+                key_bits=None,
+                sorted_blocks: bool = False) -> SparseGraph:
     """Build all stride levels + kernel maps needed by a conv plan.
 
     Args:
@@ -232,11 +397,18 @@ def build_graph(coords: jax.Array, mask: jax.Array,
       specs: the model's convolutions (duplicate geometry is deduped).
       level_caps: static dict stride -> capacity. Must contain every stride
         appearing in `specs`; stride 1 capacity must equal N0.
-      method: 'auto' (default; Mosaic merge-join on TPU, sortjoin
-        elsewhere), 'pallas', 'sortjoin' (one streaming sort) or
-        'bsearch' (vectorized binary search; reference implementation).
+      method: 'auto' (default; 'fused' on TPU, sortjoin elsewhere),
+        'fused' (implicit maps — packed query keys + windows resolved
+        inside the Mosaic conv kernels, no join pass), 'pallas' (explicit
+        maps via the Mosaic merge-join), 'sortjoin' (one streaming sort)
+        or 'bsearch' (vectorized binary search; reference
+        implementation).
       key_bits: (bx, by, bz) per-axis bit budget for sortjoin keys
         (coords.DEFAULT_KEY_BITS when None).
+      sorted_blocks: promise that `coords` is cloud-blocked with each
+        block key-sorted and padding inline at block tails
+        (voxelize_per_cloud output) — the level-0 index then compacts
+        instead of sorting.
 
     This function is jittable (specs/level_caps static via closure).
     """
@@ -244,7 +416,8 @@ def build_graph(coords: jax.Array, mask: jax.Array,
     levels: Dict[int, LevelCoords] = {}
     for s in strides:
         if s == 1:
-            levels[1] = _index_level(coords, mask, 1)
+            levels[1] = (_index_level_sorted(coords, mask) if sorted_blocks
+                         else _index_level(coords, mask, 1))
         else:
             levels[s] = _downsample_level(coords, mask, s, level_caps[s])
 
@@ -269,7 +442,19 @@ def build_graph(coords: jax.Array, mask: jax.Array,
 
     if method == "auto":
         from .pallas_conv import pallas_available
-        method = "pallas" if pallas_available() else "sortjoin"
+        if pallas_available():
+            # fused windows require the original row order to be
+            # cloud-blocked key-sorted (queries monotone per offset,
+            # level perm increasing on the valid prefix)
+            method = "fused" if sorted_blocks else "pallas"
+        else:
+            method = "sortjoin"
+
+    if method == "fused":
+        assert sorted_blocks, \
+            "method='fused' requires sorted_blocks coords layout"
+        return SparseGraph(levels=levels, kmaps={},
+                           fused=_build_fused_maps(levels, uniq))
 
     kmaps: Dict[str, jax.Array] = {}
     if method == "sortjoin":

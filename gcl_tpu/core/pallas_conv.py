@@ -1,38 +1,46 @@
-"""Pallas TPU kernel for the sparse-conv gather-GEMM hot path.
+"""Pallas TPU kernels for the sparse-conv gather-GEMM hot path.
 
 XLA's row gather runs at ~65 M rows/s on v5e regardless of dtype (each
 ResUNet conv gathers K * N_out rows, so KITTI-scale forward passes spend
 seconds in gathers), and a scan of K GEMMs is memory-bound on the f32
-accumulator it re-reads every step. This kernel exploits a structural
-property of the kernel maps built by kernel_maps.build_graph: both the
+accumulator it re-reads every step. These kernels exploit a structural
+property of the coordinate engine (kernel_maps.build_graph): both the
 in- and out-level coordinate arrays are (cloud, x, y, z)-key sorted, so
-for every kernel offset k the gather table kmap[k, :] is monotone
-non-decreasing over its valid entries. A tile of consecutive outputs
-therefore reads a CONTIGUOUS WINDOW of input rows.
+for every kernel offset the matching input rows are monotone over the
+outputs — a tile of consecutive outputs reads a CONTIGUOUS WINDOW of
+input rows.
+
+Kernel maps are IMPLICIT: the kernels receive packed int32 query keys
+(out_coord + offset) and compare them against the window's packed target
+keys to build the one-hot routing in-flight (types.FusedMap). A separate
+merge-join pass that materializes gather indices would do the exact same
+key compare — one equality per (query, window lane) — so resolving the
+map inside the conv costs nothing and the join pass (~0.4 s/step at
+KITTI scale) disappears. Padded / off-lattice / out-of-range queries
+carry never-matching keys and contribute exactly zero, matching the XLA
+reference path in sparse_ops._conv_forward.
 
 Offsets are processed in dx-GROUPS (kernel_offsets enumerates x-major,
 so rows [g*k^2, (g+1)*k^2) share one dx): offsets within a group differ
 only in (dy, dz), which displace the matched row by a few z-runs, while
 dx displaces it by a whole x-slab (~0.5-1.5 TILEs at KITTI scale).
-Per-group windows are therefore ~2-4x tighter than one window shared by
-all K offsets (measured: k=3 same-level window 574 -> 258 rows median,
-k=5 904 -> 259 at TILE=256) — and window width is exactly the per-output
+Per-group windows are ~2-4x tighter than one window shared by all K
+offsets (measured: k=3 same-level window 574 -> 258 rows median, k=5
+904 -> 259 at TILE=256) — and window width is exactly the per-output
 MXU/VPU cost of the one-hot gather.
 
   per output tile, per dx-group (double-buffered), per window chunk
   (chunk count is dynamic, usually 1):
-    1. ONE DMA x[start_g : start_g + W] from HBM into VMEM;
+    1. DMA keys[start_g : start_g + W] and x[start_g : start_g + W]
+       from HBM into VMEM;
     2. for each offset k of the group: "gather" inside VMEM as
-       onehot(idx_k - start_g) @ window on the MXU — exact, each one-hot
-       row holds a single 1.0 — and accumulate @ W[k] into a
-       VMEM-resident f32 accumulator.
+       onehot(qkey_k == window_keys) @ window on the MXU — exact, each
+       one-hot row holds at most a single 1.0 (keys are unique within a
+       level) — and accumulate @ W[k] into a VMEM-resident f32
+       accumulator.
 
-Missing entries (idx == n_in) hit the appended zero rows or fall outside
-every executed chunk — either way they contribute exactly zero, matching
-the XLA reference path in sparse_ops._conv_forward.
-
-The backward dX pass reuses this forward kernel (reverse maps + flipped
-transposed weights, see sparse_ops._sparse_conv_rev_bwd); dW uses the
+The backward dX pass reuses this forward kernel (reverse-direction
+queries + flipped transposed weights, see sparse_ops); dW uses the
 sibling kernel below (same windows, dW[k] += gathered^T @ g_tile).
 
 Reference parity: this evaluates the same sum_k X[kmap[k,i]] @ W[k] as
@@ -50,7 +58,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256      # output rows per grid step
-WIN = 384       # input rows per DMA window (multiple of 8)
+WIN = 384       # input rows per DMA window (multiple of 128)
+
+# int32 key guaranteed absent from every packed target-key array:
+# 0xFFFFFFFE sits above the PAD_CLOUD target range (0xF8000000 + row,
+# row < 2^26) and below no valid cloud<31 key; the identity-key test
+# adapter uses keys >= -1 only.
+NEVER_KEY = jnp.int32(-2)
 
 
 def _cdiv(a, b):
@@ -64,15 +78,20 @@ def num_offset_groups(k: int) -> int:
 
 
 def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
-                    groups: int = 1, align: int = 8
+                    groups: int = 1, align: int = 128
                     ) -> Tuple[jax.Array, jax.Array]:
-    """Per-(group, tile) shared window start + chunk count, in plain XLA.
+    """Per-(group, tile) shared window start + chunk count from an
+    EXPLICIT gather table, in plain XLA.
 
     idx: int32[K, N_out_pad] routed gather table (missing == n_in).
     Window [start, start + nch*WIN) covers every valid entry of every
     offset in the group for that tile; starts are pre-aligned to `align`
-    (the kernel's DMA alignment — nch must account for it) and clamped so
-    reads stay inside the zero-padded x (length >= n_in_pad).
+    (the kernels' DMA alignment — nch accounts for it) and clamped so
+    reads stay inside the padded input (length >= n_in_pad).
+
+    The fused production path computes windows from coordinate keys
+    instead (kernel_maps._fused_windows); this is the adapter used when
+    only an explicit table exists (tests, ad-hoc gathers).
     """
     k, n_out_pad = idx.shape
     n_in = n_in_pad - WIN
@@ -89,17 +108,44 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
     return start.astype(jnp.int32), nch.astype(jnp.int32)
 
 
-def _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, G, dt):
+def _fused_from_idx(feats_len, idx):
+    """Identity-key FusedMap pieces from an explicit gather table.
+
+    Key space = input row id: tkeys[0, r] = r (pad -1), qkey = idx
+    (missing -> NEVER_KEY). Lets the key-compare kernels evaluate any
+    explicit table; used by the pallas_conv_fwd/dw index-API wrappers.
+    """
+    n_in = feats_len
+    k, n_out = idx.shape
+    grp = num_offset_groups(k)
+    n_tiles = _cdiv(n_out, TILE)
+    qkey = jnp.where(idx < n_in, idx, NEVER_KEY)
+    pad = n_tiles * TILE - n_out
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=n_in)
+    starts, nch = compute_windows(idx, n_in + WIN, n_tiles, grp)
+    t_pad = _cdiv(n_in + WIN, 128) * 128
+    tkeys = jnp.full((8, t_pad), -1, jnp.int32)
+    tkeys = tkeys.at[0, :n_in].set(jnp.arange(n_in, dtype=jnp.int32))
+    return qkey, starts, nch, tkeys
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
+                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                     K, G, dt):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
-    starts_ref/nch_ref are [G, n_tiles]. The (tile, group) sequence runs
-    tile-major; the next window in the sequence is DMA'd while the
-    current one computes (grid steps run sequentially on TPU, so the
-    buffer freed by sequence step s-1 is safe to overwrite at s+1).
-    Extra chunks (group window span > WIN — rare with per-dx windows) run
-    synchronously off a third buffer.
+    starts_ref/nch_ref are [G, n_tiles] (128-aligned starts). The
+    (tile, group) sequence runs tile-major; the next window's key+feature
+    DMAs start while the current one computes (grid steps run
+    sequentially on TPU, so the buffer freed by sequence step s-1 is safe
+    to overwrite at s+1). Extra chunks (group window span > WIN — rare
+    with per-dx windows) run synchronously off third buffers.
 
     body(k, oh, win) is called for every offset k with the one-hot gather
     matrix of the current chunk.
@@ -107,50 +153,68 @@ def _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     kg = K // G
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
-    def dma(g, tile, slot):
-        base = pl.multiple_of(starts_ref[g, tile] & ~7, 8)
+    def dma_k(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile], 128)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
+            tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref.at[slot],
+            sems.at[slot, 0])
+
+    def dma_x(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile], 128)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, WIN), :], xwin_ref.at[slot],
+            sems.at[slot, 1])
 
     @pl.when(i == 0)
     def _():
-        dma(0, i, 0).start()
+        dma_k(0, i, 0).start()
+        dma_x(0, i, 0).start()
 
     for g in range(G):
         slot = jax.lax.rem(i * G + g, 2)
         if g + 1 < G:
-            dma(g + 1, i, 1 - slot).start()
+            dma_k(g + 1, i, 1 - slot).start()
+            dma_x(g + 1, i, 1 - slot).start()
         else:
             @pl.when(i + 1 < n)
             def _():
-                dma(0, i + 1, 1 - slot).start()
-        dma(g, i, slot).wait()
-        win = win_ref[slot]
-        s0 = starts_ref[g, i] & ~7
+                dma_k(0, i + 1, 1 - slot).start()
+                dma_x(0, i + 1, 1 - slot).start()
+        dma_k(g, i, slot).wait()
+        dma_x(g, i, slot).wait()
+        tk = kwin_ref[slot, 0:1, :]  # [1, WIN] packed target keys
+        win = xwin_ref[slot]
         for k in range(g * kg, (g + 1) * kg):
-            oh = ((idx_ref[k, :][:, None] - s0) == iota).astype(dt)
+            oh = (qk_ref[k, :][:, None] == tk).astype(dt)
             body(k, oh, win)
 
+        s0 = starts_ref[g, i]
+
         def extra(c, carry):
-            base = pl.multiple_of(s0 + c * WIN, 8)
-            dma2 = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(base, WIN), :], win2_ref, sems.at[2])
-            dma2.start()
-            dma2.wait()
-            w2 = win2_ref[:, :]
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, WIN)], kwin2_ref, sems.at[2, 0])
+            d2 = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(base, WIN), :], xwin2_ref, sems.at[2, 1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            tk2 = kwin2_ref[0:1, :]
+            w2 = xwin2_ref[:, :]
             for k in range(g * kg, (g + 1) * kg):
-                oh = ((idx_ref[k, :][:, None] - base) == iota).astype(dt)
+                oh = (qk_ref[k, :][:, None] == tk2).astype(dt)
                 body(k, oh, w2)
             return carry
 
         jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
 
 
-def _fwd_kernel(starts_ref, nch_ref, idx_ref, w_ref, x_hbm, out_ref,
-                win_ref, win2_ref, acc_ref, sems, *, K, G, mm_precision):
-    dt = win2_ref.dtype
+def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
+                kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, acc_ref, sems,
+                *, K, G, mm_precision):
+    dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     def body(k, oh, win):
@@ -160,15 +224,17 @@ def _fwd_kernel(starts_ref, nch_ref, idx_ref, w_ref, x_hbm, out_ref,
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
 
-    _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, G, dt)
+    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
+                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                     K, G, dt)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
-def _dw_kernel(starts_ref, nch_ref, idx_ref, g_ref, x_hbm, dw_ref,
-               win_ref, win2_ref, sems, *, K, G, mm_precision):
+def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
+               kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+               *, K, G, mm_precision):
     i = pl.program_id(0)
-    dt = win2_ref.dtype
+    dt = xwin2_ref.dtype
 
     @pl.when(i == 0)
     def _():
@@ -183,12 +249,13 @@ def _dw_kernel(starts_ref, nch_ref, idx_ref, g_ref, x_hbm, dw_ref,
             gx.astype(dt).T, gt, preferred_element_type=jnp.float32,
             precision=mm_precision)
 
-    _windowed_gather(body, starts_ref, nch_ref, idx_ref, x_hbm, win_ref,
-                     win2_ref, sems, K, G, dt)
+    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
+                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                     K, G, dt)
 
 
-def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
-                   win_ref, sem, *, K, G):
+def _fwd_c1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, xt_hbm,
+                   out_ref, kwin_ref, xwin_ref, sems, *, K, G):
     """Cin == 1 forward (ResUNet conv1 on occupancy features).
 
     The generic kernel would pad the single channel to 128 MXU lanes
@@ -198,7 +265,6 @@ def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
     """
     i = pl.program_id(0)
     kg = K // G
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(G):
@@ -207,13 +273,18 @@ def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
 
         def chunk(c, acc, g=g, s0=s0):
             base = pl.multiple_of(s0 + c * WIN, 128)
-            dma = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-            dma.start()
-            dma.wait()
-            xw = win_ref[0:1, :]  # [1, W] f32 scalar features
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
+            d2 = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            tk = kwin_ref[0:1, :]
+            xw = xwin_ref[0:1, :]  # [1, W] f32 scalar features
             for k in range(g * kg, (g + 1) * kg):
-                oh = (idx_ref[k, :][:, None] - base) == iota
+                oh = qk_ref[k, :][:, None] == tk
                 g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
                 acc = acc + g_k[:, None] * w2_ref[k, :][None, :]
             return acc
@@ -222,18 +293,17 @@ def _fwd_c1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, xt_hbm, out_ref,
     out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
-def _fwd_co1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, gt_hbm, out_ref,
-                    win_ref, sem, *, K, G, C):
-    """Cout == 1 forward (dX of a Cin==1 conv through reverse maps).
+def _fwd_co1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, gt_hbm,
+                    out_ref, kwin_ref, xwin_ref, sems, *, K, G, C):
+    """Cout == 1 forward (dX of a Cin==1 conv through reverse queries).
 
-    out[j] = sum_k gather(g, ridx_k)[j] @ W[k]  with W[k] a [C, 1]
-    column. Precompute yT = W2 @ g_window^T ([K, W], one small MXU op per
-    chunk, g passed pre-transposed [C, N]); then each offset is a VPU
-    masked row-sum — no 128x output padding.
+    out[j] = sum_k gather(g, k)[j] @ W[k]  with W[k] a [C, 1] column.
+    Precompute yT = W2 @ g_window^T ([K, W], one small MXU op per chunk,
+    g passed pre-transposed [C, N]); then each offset is a VPU masked
+    row-sum — no 128x output padding.
     """
     i = pl.program_id(0)
     kg = K // G
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(G):
@@ -242,15 +312,20 @@ def _fwd_co1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, gt_hbm, out_ref,
 
         def chunk(c, acc, g=g, s0=s0):
             base = pl.multiple_of(s0 + c * WIN, 128)
-            dma = pltpu.make_async_copy(
-                gt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-            dma.start()
-            dma.wait()
-            yt = jnp.dot(w2_ref[:, :], win_ref[:, :].astype(jnp.float32),
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
+            d2 = pltpu.make_async_copy(
+                gt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            tk = kwin_ref[0:1, :]
+            yt = jnp.dot(w2_ref[:, :], xwin_ref[:, :].astype(jnp.float32),
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)  # [K, W]
             for k in range(g * kg, (g + 1) * kg):
-                oh = (idx_ref[k, :][:, None] - base) == iota
+                oh = qk_ref[k, :][:, None] == tk
                 acc = acc + jnp.sum(jnp.where(oh, yt[k:k + 1, :], 0.0),
                                     axis=1)[:, None]
             return acc
@@ -259,12 +334,11 @@ def _fwd_co1_kernel(starts_ref, nch_ref, idx_ref, w2_ref, gt_hbm, out_ref,
     out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
-def _dw_c1_kernel(starts_ref, nch_ref, idx_ref, g_ref, xt_hbm, dw_ref,
-                  win_ref, sem, *, K, G):
-    """Cin == 1 dW: dW[k, 0, :] = sum_i x[idx[k, i]] * g[i, :]."""
+def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
+                  dw_ref, kwin_ref, xwin_ref, sems, *, K, G):
+    """Cin == 1 dW: dW[k, 0, :] = sum_i x[match(k, i)] * g[i, :]."""
     i = pl.program_id(0)
     kg = K // G
-    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 1)
 
     @pl.when(i == 0)
     def _():
@@ -278,13 +352,18 @@ def _dw_c1_kernel(starts_ref, nch_ref, idx_ref, g_ref, xt_hbm, dw_ref,
 
         def chunk(c, carry, g=g, s0=s0):
             base = pl.multiple_of(s0 + c * WIN, 128)
-            dma = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(base, WIN)], win_ref, sem)
-            dma.start()
-            dma.wait()
-            xw = win_ref[0:1, :]
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
+            d2 = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            tk = kwin_ref[0:1, :]
+            xw = xwin_ref[0:1, :]
             for k in range(g * kg, (g + 1) * kg):
-                oh = (idx_ref[k, :][:, None] - base) == iota
+                oh = qk_ref[k, :][:, None] == tk
                 g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
                 dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
             return carry
@@ -292,29 +371,9 @@ def _dw_c1_kernel(starts_ref, nch_ref, idx_ref, g_ref, xt_hbm, dw_ref,
         jax.lax.fori_loop(0, nc, chunk, 0)
 
 
-def _prep_t(col: jax.Array, n_in: int):
-    """[4, t_pad] f32 row-stacked scalar feature array for 1-D windows."""
-    t_pad = _cdiv(n_in + WIN, WIN) * WIN
-    r = jnp.zeros((4, t_pad), jnp.float32)
-    return r.at[0, :n_in].set(col.astype(jnp.float32))
-
-
-def _prep(feats: jax.Array, idx: jax.Array):
-    """Zero-pad x (stray window reads then gather zeros; lane dim to a
-    multiple of 128 — Mosaic HBM window slices need 128-aligned lanes)
-    and pad idx to a whole number of tiles (padded entries point at the
-    zero rows)."""
-    n_in, c = feats.shape
-    n_out = idx.shape[1]
-    n_in_pad = n_in + WIN
-    c_pad = _cdiv(max(c, 1), 128) * 128 - c
-    xp = jnp.pad(feats, ((0, WIN), (0, c_pad)))
-    n_tiles = _cdiv(n_out, TILE)
-    pad = n_tiles * TILE - n_out
-    if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=n_in)
-    return xp, idx, n_in_pad, n_tiles
-
+# ----------------------------------------------------------------------
+# wrappers
+# ----------------------------------------------------------------------
 
 def _mm_precision(dtype):
     # f32 inputs: HIGHEST keeps the one-hot copies bit-exact (products
@@ -322,24 +381,37 @@ def _mm_precision(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
 
-def _pad_idx(idx, n_in):
-    n_out = idx.shape[1]
-    n_tiles = _cdiv(n_out, TILE)
+def _pad_qkey(qkey, n_tiles):
+    n_out = qkey.shape[1]
     pad = n_tiles * TILE - n_out
     if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=n_in)
-    return idx, n_tiles
+        qkey = jnp.pad(qkey, ((0, 0), (0, pad)),
+                       constant_values=NEVER_KEY)
+    return qkey
 
 
-def _conv_c1_fwd(feats, weights, idx, interpret):
-    n_in = feats.shape[0]
-    k, n_out = idx.shape
-    grp = num_offset_groups(k)
+def _pad_feats(feats, t_pad, c_target=None):
+    n_in, c0 = feats.shape
+    c = c0 if c_target is None else c_target
+    xp = jnp.zeros((t_pad, c), feats.dtype)
+    return xp.at[:n_in, :c0].set(feats)
+
+
+def _prep_t(col: jax.Array, t_pad: int):
+    """[4, t_pad] f32 row-stacked scalar feature array for 1-D windows."""
+    r = jnp.zeros((4, t_pad), jnp.float32)
+    return r.at[0, :col.shape[0]].set(col.astype(jnp.float32))
+
+
+def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
+    k = qkey.shape[0]
+    n_out = qkey.shape[1]
+    grp = starts.shape[0]
+    n_tiles = starts.shape[1]
+    t_pad = tkeys.shape[1]
     cout0 = weights.shape[-1]
-    idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
-                                  align=128)
-    xt = _prep_t(feats[:, 0], n_in)
+    qp = _pad_qkey(qkey, n_tiles)
+    xt = _prep_t(feats[:, 0], t_pad)
     w2 = weights[:, 0, :].astype(jnp.float32)
 
     kern = functools.partial(_fwd_c1_kernel, K=k, G=grp)
@@ -352,12 +424,14 @@ def _conv_c1_fwd(feats, weights, idx, interpret):
             pl.BlockSpec((k, cout0), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((4, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -365,18 +439,17 @@ def _conv_c1_fwd(feats, weights, idx, interpret):
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout0),
                                        feats.dtype),
         interpret=interpret,
-    )(starts, nch, idxp, w2, xt)
+    )(starts, nch, qp, w2, tkeys, xt)
     return out[:n_out]
 
 
-def _conv_co1_fwd(feats, weights, idx, interpret):
+def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
     n_in, c0 = feats.shape
-    k, n_out = idx.shape
-    grp = num_offset_groups(k)
-    idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
-                                  align=128)
-    t_pad = _cdiv(n_in + WIN, WIN) * WIN
+    k, n_out = qkey.shape
+    grp = starts.shape[0]
+    n_tiles = starts.shape[1]
+    t_pad = tkeys.shape[1]
+    qp = _pad_qkey(qkey, n_tiles)
     gt = jnp.zeros((c0, t_pad), feats.dtype).at[:, :n_in].set(feats.T)
     w2 = weights[:, :, 0].astype(jnp.float32)
 
@@ -390,31 +463,32 @@ def _conv_co1_fwd(feats, weights, idx, interpret):
             pl.BlockSpec((k, c0), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((c0, WIN), feats.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, 1), feats.dtype),
         interpret=interpret,
-    )(starts, nch, idxp, w2, gt)
+    )(starts, nch, qp, w2, tkeys, gt)
     return out[:n_out]
 
 
-def _conv_c1_dw(feats, g, idx, interpret):
-    n_in = feats.shape[0]
-    k, n_out = idx.shape
-    grp = num_offset_groups(k)
+def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
+    k, n_out = qkey.shape
+    grp = starts.shape[0]
+    n_tiles = starts.shape[1]
+    t_pad = tkeys.shape[1]
     cout0 = g.shape[-1]
-    idxp, n_tiles = _pad_idx(idx, n_in)
-    starts, nch = compute_windows(idxp, n_in + WIN, n_tiles, groups=grp,
-                                  align=128)
-    xt = _prep_t(feats[:, 0], n_in)
+    qp = _pad_qkey(qkey, n_tiles)
+    xt = _prep_t(feats[:, 0], t_pad)
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out), (0, 0)))
 
     kern = functools.partial(_dw_c1_kernel, K=k, G=grp)
@@ -427,35 +501,42 @@ def _conv_c1_dw(feats, g, idx, interpret):
             pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((k, 1, cout0), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((4, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, 1, cout0), jnp.float32),
         interpret=interpret,
-    )(starts, nch, idxp, gp, xt)
+    )(starts, nch, qp, gp, tkeys, xt)
 
 
-def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
-                    idx: jax.Array, interpret: bool = False) -> jax.Array:
-    """out[i] = sum_k x[idx[k, i]] @ W[k]; idx routed (missing == n_in)."""
+def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
+                   starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """out[i] = sum_k x[row with key == qkey[k, i]] @ W[k] (0 if absent)."""
     n_in, c0 = feats.shape
-    k, n_out = idx.shape
-    grp = num_offset_groups(k)
+    k, n_out = qkey.shape
+    grp = starts.shape[0]
+    n_tiles = starts.shape[1]
+    t_pad = tkeys.shape[1]
     cout0 = weights.shape[-1]
     if c0 == 1:
-        return _conv_c1_fwd(feats, weights, idx, interpret)
+        return _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys,
+                            interpret)
     if cout0 == 1:
-        return _conv_co1_fwd(feats, weights, idx, interpret)
-    xp, idxp, n_in_pad, n_tiles = _prep(feats, idx)
-    starts, nch = compute_windows(idxp, n_in_pad, n_tiles, groups=grp)
-    c = xp.shape[1]
+        return _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys,
+                             interpret)
+    qp = _pad_qkey(qkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    xp = _pad_feats(feats, t_pad, c)
     cout = _cdiv(max(cout0, 1), 128) * 128
     wd = jnp.pad(weights.astype(feats.dtype),
                  ((0, 0), (0, c - c0), (0, cout - cout0)))
@@ -471,14 +552,17 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
             pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, WIN), jnp.int32),
             pltpu.VMEM((2, WIN, c), feats.dtype),
+            pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((WIN, c), feats.dtype),
             pltpu.VMEM((TILE, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -493,22 +577,25 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts, nch, idxp, wd, xp)
+    )(starts, nch, qp, wd, tkeys, xp)
     return out[:n_out, :cout0]
 
 
-def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
-                   interpret: bool = False) -> jax.Array:
-    """dW[k] = sum_i x[idx[k, i]]^T g[i]  (same shared windows)."""
+def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
+                  starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """dW[k] = sum_i x[match(k, i)]^T g[i]  (same shared windows)."""
     if feats.shape[1] == 1:
-        return _conv_c1_dw(feats, g, idx, interpret)
+        return _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret)
     n_in, c0 = feats.shape
-    k, n_out = idx.shape
-    grp = num_offset_groups(k)
+    k, n_out = qkey.shape
+    grp = starts.shape[0]
+    n_tiles = starts.shape[1]
+    t_pad = tkeys.shape[1]
     cout0 = g.shape[-1]
-    xp, idxp, n_in_pad, n_tiles = _prep(feats, idx)
-    starts, nch = compute_windows(idxp, n_in_pad, n_tiles, groups=grp)
-    c = xp.shape[1]
+    qp = _pad_qkey(qkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    xp = _pad_feats(feats, t_pad, c)
     cout = _cdiv(max(cout0, 1), 128) * 128
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
                      (0, cout - cout0))).astype(feats.dtype)
@@ -524,13 +611,16 @@ def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
             pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, WIN), jnp.int32),
             pltpu.VMEM((2, WIN, c), feats.dtype),
+            pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((WIN, c), feats.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     dw = pl.pallas_call(
@@ -538,8 +628,25 @@ def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
         interpret=interpret,
-    )(starts, nch, idxp, gp, xp)
+    )(starts, nch, qp, gp, tkeys, xp)
     return dw[:, :c0, :cout0]
+
+
+def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
+                    idx: jax.Array, interpret: bool = False) -> jax.Array:
+    """Index-table API: out[i] = sum_k x[idx[k, i]] @ W[k]; idx routed
+    (missing == n_in). Adapts to the key-compare kernels via identity
+    keys; the production path passes coordinate keys (fused_conv_fwd)."""
+    qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
+    return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
+                          interpret)
+
+
+def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Index-table API for dW (see pallas_conv_fwd)."""
+    qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
+    return fused_conv_dw(feats, g, qkey, starts, nch, tkeys, interpret)
 
 
 def pallas_available() -> bool:

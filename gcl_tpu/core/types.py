@@ -70,6 +70,33 @@ class LevelCoords(NamedTuple):
         return self.coords.shape[0]
 
 
+class FusedMap(NamedTuple):
+    """Implicit kernel map: geometry the Mosaic conv kernels resolve
+    in-flight by key equality, skipping the explicit join pass.
+
+    The windowed gather kernels rebuild the one-hot routing per use
+    anyway, so comparing packed coordinate keys against the window's
+    target keys costs the same as comparing precomputed indices — and the
+    whole merge-join pass that materialized those indices disappears.
+
+    Attributes:
+      qkey: int32[K, N_out] packed query keys (coords.pack_query_keys of
+        out_coords + offset_k at the input stride); padded / off-lattice
+        queries carry never-matching keys.
+      starts: int32[G, n_tiles] per-(dx-group, output-tile) input-window
+        start rows (input-level row space, 128-aligned).
+      nch: int32[G, n_tiles] window chunk counts (0 = no matches).
+      tkeys: int32[8, T_pad] stacked packed input-level keys in ORIGINAL
+        row order (row 0; rows 1-7 zero), sentinel-padded to the padded
+        feature length. Shared by every map reading the same level.
+    """
+
+    qkey: jax.Array
+    starts: jax.Array
+    nch: jax.Array
+    tkeys: jax.Array
+
+
 class SparseGraph(NamedTuple):
     """The full static geometry of one U-Net forward pass.
 
@@ -82,10 +109,13 @@ class SparseGraph(NamedTuple):
       kmaps: dict mapping map-key (str) -> int32[K, N_out_cap] gather
         indices. kmaps[key][k, i] is the row in the *input* level's coords
         holding the voxel at ``out_coords[i] + offset_k``, or -1 if absent.
+      fused: None, or dict mapping map-key (str) -> FusedMap (the Mosaic
+        TPU path; kmaps is empty then).
     """
 
     levels: dict
     kmaps: dict
+    fused: Optional[dict] = None
 
 
 def map_key(in_stride: int, out_stride: int, kernel_size: int, dilation: int) -> str:

@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from ..core.kernel_maps import ConvSpec
 from ..core.sparse_ops import (masked_instance_mean_var, masked_mean_var,
-                               sparse_conv)
+                               sparse_conv, sparse_conv_fused)
 from ..core.types import SparseGraph, map_key
 
 # torch kaiming_uniform(a=sqrt(5)) over fan_in = K^3 * Cin — the default
@@ -44,12 +44,15 @@ class SparseConv(nn.Module):
             w = self.param("kernel", conv_init,
                            (self.spec.kernel_size ** 3, self.in_ch,
                             self.out_ch))
-            rev = None
-            if self.spec.kernel_size % 2 == 1:
-                rk = map_key(self.spec.out_stride, self.spec.in_stride,
-                             self.spec.kernel_size, self.spec.dilation)
-                rev = graph.kmaps.get(rk)
-            y = sparse_conv(x, w, graph.kmaps[self.spec.key], rev)
+            rk = map_key(self.spec.out_stride, self.spec.in_stride,
+                         self.spec.kernel_size, self.spec.dilation)
+            if graph.fused is not None:
+                y = sparse_conv_fused(x, w, graph.fused[self.spec.key],
+                                      graph.fused[rk])
+            else:
+                rev = (graph.kmaps.get(rk)
+                       if self.spec.kernel_size % 2 == 1 else None)
+                y = sparse_conv(x, w, graph.kmaps[self.spec.key], rev)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
             y = y + b.astype(y.dtype)

@@ -128,7 +128,7 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
                                          cell_cap=step_cfg.cell_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps)
+                            step_cfg.level_caps, sorted_blocks=True)
         return flat, graph, groups, c
 
     def grad_fn(params, batch_stats, rng, points, pmask, transforms,
@@ -225,7 +225,7 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
                                  step_cfg.nv_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps)
+                            step_cfg.level_caps, sorted_blocks=True)
         f, mut = model.apply({"params": params, "batch_stats": batch_stats},
                              graph, flat.feats.astype(
                                  step_cfg.compute_dtype),
@@ -322,7 +322,7 @@ def make_val_step(model, conv_specs, step_cfg: StepConfig,
                                      step_cfg.nv_cap)
             flat = vox.flatten()
             graph = build_graph(flat.coords, flat.mask, conv_specs,
-                                step_cfg.level_caps)
+                                step_cfg.level_caps, sorted_blocks=True)
             f = model.apply({"params": params, "batch_stats": batch_stats},
                             graph, flat.feats.astype(step_cfg.compute_dtype),
                             train=False)
@@ -382,7 +382,7 @@ def make_feature_extractor(model, conv_specs, step_cfg: StepConfig):
                                  step_cfg.nv_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps)
+                            step_cfg.level_caps, sorted_blocks=True)
         f = model.apply({"params": params, "batch_stats": batch_stats},
                         graph, flat.feats.astype(step_cfg.compute_dtype),
                         train=False)

@@ -59,7 +59,7 @@ def main():
     def geom(points, pmask):
         vox = voxelize_per_cloud(points, pmask, 0.3, nv_cap)
         flat = vox.flatten()
-        return flat, build_graph(flat.coords, flat.mask, specs, caps)
+        return flat, build_graph(flat.coords, flat.mask, specs, caps, method="pallas")
 
     flat, graph = geom(jnp.asarray(points), jnp.asarray(pmask))
     graph = jax.tree_util.tree_map(jax.block_until_ready, graph)

@@ -104,10 +104,14 @@ def main():
                                  pmask.reshape(bb * cc, pp),
                                  cfg.voxel_size, cfg.nv_cap)
         flat = vox.flatten()
-        graph = build_graph(flat.coords, flat.mask, specs, cfg.level_caps)
+        graph = build_graph(flat.coords, flat.mask, specs, cfg.level_caps, sorted_blocks=True)
         tot = jnp.zeros((), jnp.int32)
         for km in graph.kmaps.values():
             tot = tot + jnp.sum(jnp.asarray(km >= 0, jnp.int32))
+        if graph.fused:
+            for fm in graph.fused.values():
+                tot = (tot + jnp.sum(fm.qkey) + jnp.sum(fm.starts)
+                       + jnp.sum(fm.nch) + jnp.sum(fm.tkeys[0]))
         return tot
 
     def fwd_fn(params, points, pmask, transforms, radius):
@@ -116,7 +120,7 @@ def main():
                                  pmask.reshape(bb * cc, pp),
                                  cfg.voxel_size, cfg.nv_cap)
         flat = vox.flatten()
-        graph = build_graph(flat.coords, flat.mask, specs, cfg.level_caps)
+        graph = build_graph(flat.coords, flat.mask, specs, cfg.level_caps, sorted_blocks=True)
         f = model.apply({"params": params, "batch_stats": batch_stats},
                         graph, flat.feats.astype(cfg.compute_dtype),
                         train=False)

@@ -364,6 +364,81 @@ class TestPallasConv:
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+class TestFusedGraph:
+    """The implicit-map (fused) path must match the explicit-map path:
+    same forward values and same dX/dW, for same-level, strided and
+    transpose geometries (interpret mode; TPU path via bench.py)."""
+
+    def _coords(self, rng, cap=96, n=60):
+        """Cloud-blocked key-sorted layout (the fused-map contract —
+        what voxelize_per_cloud produces)."""
+        raw = np.concatenate([rng.randint(0, 2, (n, 1)),
+                              rng.randint(-6, 7, (n, 3))], axis=1)
+        uniq = np.unique(raw, axis=0)  # lex-sorted by (cloud, x, y, z)
+        m = len(uniq)
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:m] = uniq
+        mask = np.zeros(cap, bool)
+        mask[:m] = True
+        return coords, mask
+
+    @pytest.mark.parametrize("in_s,out_s,k", [(1, 1, 3), (1, 2, 3),
+                                              (2, 1, 3), (1, 1, 5)])
+    def test_fused_matches_explicit(self, rng, in_s, out_s, k):
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.types import map_key as mk
+
+        coords, mask = self._coords(rng)
+        cap = coords.shape[0]
+        spec = ConvSpec("c", in_s, out_s, k)
+        caps = {1: cap, 2: cap}
+        g_ref = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                            [spec], caps, method="bsearch")
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], caps, method="fused",
+                              sorted_blocks=True)
+        assert g_fused.fused is not None and spec.key in g_fused.fused
+        rk = mk(out_s, in_s, k, 1)
+
+        cin, cout = 4, 6
+        feats = rng.randn(caps[in_s], cin).astype(np.float32)
+        feats *= np.asarray(g_ref.levels[in_s].mask)[:, None]
+        w = rng.randn(k ** 3, cin, cout).astype(np.float32)
+        cot = rng.randn(caps[out_s], cout).astype(np.float32)
+
+        def loss_ref(w, f):
+            return jnp.sum(sparse_conv(f, w, g_ref.kmaps[spec.key],
+                                       g_ref.kmaps[rk]) * cot)
+
+        def loss_fused(w, f):
+            from gcl_tpu.core import sparse_conv_fused
+            return jnp.sum(sparse_conv_fused(
+                f, w, g_fused.fused[spec.key], g_fused.fused[rk]) * cot)
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            o_ref = sparse_conv(jnp.asarray(feats), jnp.asarray(w),
+                                g_ref.kmaps[spec.key], g_ref.kmaps[rk])
+            from gcl_tpu.core import sparse_conv_fused
+            o_fused = sparse_conv_fused(
+                jnp.asarray(feats), jnp.asarray(w),
+                g_fused.fused[spec.key], g_fused.fused[rk])
+            np.testing.assert_allclose(np.asarray(o_fused),
+                                       np.asarray(o_ref),
+                                       rtol=1e-5, atol=1e-5)
+            gw0, gf0 = jax.grad(loss_ref, argnums=(0, 1))(
+                jnp.asarray(w), jnp.asarray(feats))
+            gw1, gf1 = jax.grad(loss_fused, argnums=(0, 1))(
+                jnp.asarray(w), jnp.asarray(feats))
+            np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf0),
+                                       rtol=1e-5, atol=1e-5)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+
+
 class TestMaskedStats:
     def test_mean_var_ignores_padding(self, rng):
         f = rng.randn(100, 8).astype(np.float32)
