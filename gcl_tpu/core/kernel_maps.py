@@ -419,7 +419,17 @@ def build_graph(coords: jax.Array, mask: jax.Array,
             levels[1] = (_index_level_sorted(coords, mask) if sorted_blocks
                          else _index_level(coords, mask, 1))
         else:
-            levels[s] = _downsample_level(coords, mask, s, level_caps[s])
+            # floor(floor(x/a)/b) == floor(x/(ab)): derive each level
+            # from the coarsest finer level already built — its dedup
+            # sort is over far fewer rows than level 0's
+            src = max((p for p in levels if s % p == 0), default=None)
+            if src is not None:
+                levels[s] = _downsample_level(levels[src].coords,
+                                              levels[src].mask, s,
+                                              level_caps[s])
+            else:
+                levels[s] = _downsample_level(coords, mask, s,
+                                              level_caps[s])
 
     uniq: list = []
     seen = set()

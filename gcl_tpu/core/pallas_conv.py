@@ -57,8 +57,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256      # output rows per grid step
-WIN = 384       # input rows per DMA window (multiple of 128)
+import os
+
+TILE = int(os.environ.get("GCL_CONV_TILE", "256"))  # out rows / grid step
+WIN = int(os.environ.get("GCL_CONV_WIN", "384"))    # window rows (mult 128)
 
 # int32 key guaranteed absent from every packed target-key array:
 # 0xFFFFFFFE sits above the PAD_CLOUD target range (0xF8000000 + row,
@@ -254,8 +256,67 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
                      K, G, dt)
 
 
+def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G):
+    """Double-buffered lane-sliced window pipeline for the Cin==1 /
+    Cout==1 kernels (keys [8, W] + scalar features [rows, W]); same
+    (tile, group) sequencing as _windowed_gather, extra chunks off the
+    synchronous third buffers."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_k(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile], 128)
+        return pltpu.make_async_copy(
+            tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref.at[slot],
+            sems.at[slot, 0])
+
+    def dma_x(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile], 128)
+        return pltpu.make_async_copy(
+            xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref.at[slot],
+            sems.at[slot, 1])
+
+    @pl.when(i == 0)
+    def _():
+        dma_k(0, i, 0).start()
+        dma_x(0, i, 0).start()
+
+    for g in range(G):
+        slot = jax.lax.rem(i * G + g, 2)
+        if g + 1 < G:
+            dma_k(g + 1, i, 1 - slot).start()
+            dma_x(g + 1, i, 1 - slot).start()
+        else:
+            @pl.when(i + 1 < n)
+            def _():
+                dma_k(0, i + 1, 1 - slot).start()
+                dma_x(0, i + 1, 1 - slot).start()
+        dma_k(g, i, slot).wait()
+        dma_x(g, i, slot).wait()
+        body_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+
+        s0 = starts_ref[g, i]
+
+        def extra(c, carry, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c * WIN, 128)
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, WIN)], kwin2_ref, sems.at[2, 0])
+            d2 = pltpu.make_async_copy(
+                xt_hbm.at[:, pl.ds(base, WIN)], xwin2_ref, sems.at[2, 1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            body_group(g, kwin2_ref[0:1, :], xwin2_ref)
+            return carry
+
+        jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
+
+
 def _fwd_c1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, xt_hbm,
-                   out_ref, kwin_ref, xwin_ref, sems, *, K, G):
+                   out_ref, acc_ref, kwin_ref, xwin_ref, kwin2_ref,
+                   xwin2_ref, sems, *, K, G):
     """Cin == 1 forward (ResUNet conv1 on occupancy features).
 
     The generic kernel would pad the single channel to 128 MXU lanes
@@ -263,34 +324,21 @@ def _fwd_c1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, xt_hbm,
     a VPU masked row-sum of the scalar window and the channel expansion
     is an outer-product accumulate: acc += g_k[:, None] * W[k, 0, :].
     """
-    i = pl.program_id(0)
     kg = K // G
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g in range(G):
-        s0 = starts_ref[g, i]
-        nc = nch_ref[g, i]
+    def body_group(g, tk, xwin):
+        xw = xwin[0:1, :]  # [1, W] f32 scalar features
+        acc = jnp.zeros(acc_ref.shape, jnp.float32)
+        for k in range(g * kg, (g + 1) * kg):
+            oh = qk_ref[k, :][:, None] == tk
+            g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
+            acc = acc + g_k[:, None] * w2_ref[k, :][None, :]
+        acc_ref[:, :] += acc
 
-        def chunk(c, acc, g=g, s0=s0):
-            base = pl.multiple_of(s0 + c * WIN, 128)
-            d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
-            d2 = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
-            tk = kwin_ref[0:1, :]
-            xw = xwin_ref[0:1, :]  # [1, W] f32 scalar features
-            for k in range(g * kg, (g + 1) * kg):
-                oh = qk_ref[k, :][:, None] == tk
-                g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
-                acc = acc + g_k[:, None] * w2_ref[k, :][None, :]
-            return acc
-
-        acc = jax.lax.fori_loop(0, nc, chunk, acc)
-    out_ref[:, :] = acc.astype(out_ref.dtype)
+    _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _fwd_co1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, gt_hbm,
@@ -335,7 +383,8 @@ def _fwd_co1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, gt_hbm,
 
 
 def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
-                  dw_ref, kwin_ref, xwin_ref, sems, *, K, G):
+                  dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                  *, K, G):
     """Cin == 1 dW: dW[k, 0, :] = sum_i x[match(k, i)] * g[i, :]."""
     i = pl.program_id(0)
     kg = K // G
@@ -346,29 +395,15 @@ def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
 
     gt = g_ref[:, :].astype(jnp.float32)  # [TILE, COUT]
 
-    for g in range(G):
-        s0 = starts_ref[g, i]
-        nc = nch_ref[g, i]
+    def body_group(g, tk, xwin):
+        xw = xwin[0:1, :]
+        for k in range(g * kg, (g + 1) * kg):
+            oh = qk_ref[k, :][:, None] == tk
+            g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
+            dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
 
-        def chunk(c, carry, g=g, s0=s0):
-            base = pl.multiple_of(s0 + c * WIN, 128)
-            d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
-            d2 = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
-            tk = kwin_ref[0:1, :]
-            xw = xwin_ref[0:1, :]
-            for k in range(g * kg, (g + 1) * kg):
-                oh = qk_ref[k, :][:, None] == tk
-                g_k = jnp.sum(jnp.where(oh, xw, 0.0), axis=1)  # [TILE]
-                dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
-            return carry
-
-        jax.lax.fori_loop(0, nc, chunk, 0)
+    _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G)
 
 
 # ----------------------------------------------------------------------
@@ -429,9 +464,12 @@ def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
         out_specs=pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((TILE, cout0), jnp.float32),
+            pltpu.VMEM((2, 8, WIN), jnp.int32),
+            pltpu.VMEM((2, 4, WIN), jnp.float32),
             pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((4, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -506,9 +544,11 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
         out_specs=pl.BlockSpec((k, 1, cout0), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, WIN), jnp.int32),
+            pltpu.VMEM((2, 4, WIN), jnp.float32),
             pltpu.VMEM((8, WIN), jnp.int32),
             pltpu.VMEM((4, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     return pl.pallas_call(

@@ -242,6 +242,44 @@ def batched_grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
     tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
     txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
 
+    rows_s, d2_s, qperm = _batched_grid_core(queries, q_mask, targets,
+                                             t_mask, r, k, cell,
+                                             presorted=False)
+    sidx = jnp.broadcast_to(jnp.arange(s_n, dtype=jnp.int32)[:, None],
+                            (s_n, q_n))
+    rows = jnp.zeros((s_n, q_n, k), jnp.int32).at[sidx, qperm].set(rows_s)
+    d2 = jnp.full((s_n, q_n, k), 1e30, jnp.float32).at[sidx, qperm].set(
+        d2_s)
+    hit = (d2 <= (r * r)[:, None, None]) & (rows >= 0) & q_mask[..., None]
+    return jnp.maximum(rows, 0), hit
+
+
+def _batched_grid_core(queries, q_mask, targets, t_mask, r, k, cell,
+                       presorted: bool, interpret: bool = False):
+    """Kernel-side of the batched grid search.
+
+    When presorted=False, queries are sorted by home-cell key internally
+    and results come back in that SORTED order (the caller unscatters —
+    batched_grid_radius_knn API). When presorted=True, queries must
+    already be ~monotone in home-cell key and results come back in the
+    given query order — batch_colocation_groups uses this and keeps its
+    group tables in the permuted order instead of paying two
+    [S, Q, K]-sized unscatters.
+    """
+    from ..core.pallas_radius import windowed_cell_topk
+
+    s_n, q_n, _ = queries.shape
+    t_n = targets.shape[1]
+
+    tkey, t_ok = _cell_key(jnp.floor(
+        jnp.where(t_mask[..., None], targets, 1e30) / cell
+    ).astype(jnp.int32), t_mask)
+    tx = jnp.where(t_ok[..., None], targets, 1e30)
+    iota_t = jnp.broadcast_to(jnp.arange(t_n, dtype=jnp.int32),
+                              (s_n, t_n))
+    tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
+    txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
+
     qx = jnp.where(q_mask[..., None], queries, -1e30)
     qc = qx * jnp.float32(1.0 / cell)
     qcell = jnp.floor(qc).astype(jnp.int32)
@@ -250,23 +288,17 @@ def batched_grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
                    + step[:, :, None, :] * _OCTANT[None, None, :, :])
     probes, _ = _cell_key(probe_cells, q_mask[:, :, None])  # [S, Q, 8]
 
-    # process queries in home-cell-key order so tiles window the sorted
-    # target array (probe 0 is the home cell)
-    iota_q = jnp.broadcast_to(jnp.arange(q_n, dtype=jnp.int32),
-                              (s_n, q_n))
-    _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
-    probes_s = jnp.take_along_axis(probes, qperm[..., None], axis=1)
-    qxyz_s = jnp.take_along_axis(qx, qperm[..., None], axis=1)
+    qperm = None
+    if not presorted:
+        iota_q = jnp.broadcast_to(jnp.arange(q_n, dtype=jnp.int32),
+                                  (s_n, q_n))
+        _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
+        probes = jnp.take_along_axis(probes, qperm[..., None], axis=1)
+        qx = jnp.take_along_axis(qx, qperm[..., None], axis=1)
 
-    rows_s, d2_s = windowed_cell_topk(tkey_s, trow_s, txyz_s, probes_s,
-                                      qxyz_s, r * r, k)
-    sidx = jnp.broadcast_to(jnp.arange(s_n, dtype=jnp.int32)[:, None],
-                            (s_n, q_n))
-    rows = jnp.zeros((s_n, q_n, k), jnp.int32).at[sidx, qperm].set(rows_s)
-    d2 = jnp.full((s_n, q_n, k), 1e30, jnp.float32).at[sidx, qperm].set(
-        d2_s)
-    hit = (d2 <= (r * r)[:, None, None]) & (rows >= 0) & q_mask[..., None]
-    return jnp.maximum(rows, 0), hit
+    rows, d2 = windowed_cell_topk(tkey_s, trow_s, txyz_s, probes, qx,
+                                  r * r, k, interpret=interpret)
+    return rows, d2, qperm
 
 
 @partial(jax.jit, static_argnames=("k", "chunk", "cell", "cell_cap"))
@@ -304,12 +336,24 @@ def build_colocation_groups(vox: VoxelizedClouds, transforms: jax.Array,
 
 
 def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
-                     hit: jax.Array) -> ColocationGroups:
-    """Group tables from per-cloud radius-KNN results (idx/hit [C, Q, k])."""
+                     hit: jax.Array,
+                     qperm: jax.Array = None) -> ColocationGroups:
+    """Group tables from per-cloud radius-KNN results (idx/hit [C, Q, k]).
+
+    When `qperm` is given, query q is center voxel row qperm[q] (the
+    searches ran over home-cell-sorted queries) and the group SLOTS come
+    out in that permuted order — semantically neutral: member rows are
+    target rows (unaffected), and the loss only samples group slots.
+    Callers must permute per-group side arrays (anchor_xyz/anchor_item)
+    with the same qperm.
+    """
     c, nv, _ = vox.xyz.shape
     k = idx.shape[-1]
     center_xyz = vox.xyz[0]
     center_mask = vox.mask[0]
+    if qperm is not None:
+        center_xyz = center_xyz[qperm]
+        center_mask = center_mask[qperm]
     own_norms = jnp.linalg.norm(vox.xyz, axis=-1)  # distance to own LiDAR
     own_norms = jnp.where(vox.mask, own_norms, 1e30)
 
@@ -324,8 +368,9 @@ def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
     first_norm = jnp.where(hit[:, :, 0],
                            own_norms[jnp.arange(c)[:, None], idx[:, :, 0]],
                            1e30)  # [C, Q]
+    center_norm = own_norms[0] if qperm is None else own_norms[0][qperm]
     cand = first_norm.T.at[:, 0].set(
-        jnp.where(center_mask, own_norms[0], 1e30))  # [Q, C]
+        jnp.where(center_mask, center_norm, 1e30))  # [Q, C]
     win = jnp.argmin(cand, axis=1).astype(jnp.int32)
     finest_pos = win * k  # column of that cloud's first hit
 
@@ -344,7 +389,8 @@ def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
 def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                             voxel_size, search_radius, k: int = 5,
                             chunk: int = 512, cell: float = None,
-                            cell_cap: int = 8) -> ColocationGroups:
+                            cell_cap: int = 8,
+                            _interpret: bool = False) -> ColocationGroups:
     """Batched group construction: vox_b fields have a leading sample dim
     [B, C, Nv, ...]; returns groups with global rows into the flattened
     [B*C*Nv] voxel array and anchor_item = sample index. `search_radius`
@@ -360,29 +406,52 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                                             jnp.float32), (b,))
 
     from ..core.pallas_conv import pallas_available
-    if cell is not None and pallas_available():
-        # batched Mosaic search (S = B*C searches share one kernel launch)
+    if cell is not None and (pallas_available() or _interpret):
+        # Batched Mosaic search (S = B*C searches share one kernel
+        # launch). All C searches of a sample share the SAME queries
+        # (the center cloud), so sort them by home-cell key once per
+        # sample and keep the group tables in that order — group-slot
+        # order is semantically neutral and this skips two [S, Q, K]
+        # result unscatters.
         aligned = jax.vmap(jax.vmap(transform_points))(vox_b.xyz,
                                                        transforms_b)
-        queries = jnp.broadcast_to(vox_b.xyz[:, 0:1], (b, c, nv, 3))
-        q_mask = jnp.broadcast_to(vox_b.mask[:, 0:1], (b, c, nv))
-        radius_s = jnp.broadcast_to(radius_b[:, None], (b, c))
-        idx, hit = batched_grid_radius_knn(
+        center = vox_b.xyz[:, 0]
+        cmask = vox_b.mask[:, 0]
+        home, _ = _cell_key(jnp.floor(
+            jnp.where(cmask[..., None], center, -1e30) / cell
+        ).astype(jnp.int32), cmask)
+        iota = jnp.broadcast_to(jnp.arange(nv, dtype=jnp.int32), (b, nv))
+        _, qperm = jax.lax.sort((home, iota), num_keys=1)  # [b, nv]
+        q_sorted = jnp.take_along_axis(center, qperm[..., None], axis=1)
+        m_sorted = jnp.take_along_axis(cmask, qperm, axis=1)
+
+        queries = jnp.broadcast_to(q_sorted[:, None], (b, c, nv, 3))
+        q_mask = jnp.broadcast_to(m_sorted[:, None], (b, c, nv))
+        r_c = jnp.minimum(radius_b, cell * 0.5)
+        r_s = jnp.broadcast_to(r_c[:, None], (b, c)).reshape(b * c)
+        rows, d2, _ = _batched_grid_core(
             queries.reshape(b * c, nv, 3), q_mask.reshape(b * c, nv),
             aligned.reshape(b * c, nv, 3), vox_b.mask.reshape(b * c, nv),
-            radius_s.reshape(b * c), k, cell)
+            r_s, k, cell, presorted=True, interpret=_interpret)
+        hit = ((d2 <= (r_s * r_s)[:, None, None]) & (rows >= 0)
+               & q_mask.reshape(b * c, nv)[..., None])
+        idx = jnp.maximum(rows, 0)
         groups = jax.vmap(_assemble_groups)(
-            vox_b, idx.reshape(b, c, nv, k), hit.reshape(b, c, nv, k))
+            vox_b, idx.reshape(b, c, nv, k), hit.reshape(b, c, nv, k),
+            qperm)
+        anchor_src = jnp.take_along_axis(
+            vox_b.coords[:, 0, :, 1:4], qperm[..., None], axis=1)
     else:
         groups = jax.vmap(
             lambda v, t, r: build_colocation_groups(v, t, r, k, chunk,
                                                     cell, cell_cap)
         )(vox_b, transforms_b, radius_b)
+        anchor_src = vox_b.coords[:, 0, :, 1:4]
 
     sample_off = (jnp.arange(b, dtype=jnp.int32) * (c * nv))[:, None, None]
     member_idx = jnp.where(groups.member_idx >= 0,
                            groups.member_idx + sample_off, -1)
-    anchor_xyz = vox_b.coords[:, 0, :, 1:4].astype(jnp.float32)
+    anchor_xyz = anchor_src.astype(jnp.float32)
     anchor_item = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None], (b, nv))
 

@@ -35,21 +35,48 @@ def square_distance(a: jax.Array, b: jax.Array,
     return jnp.clip(d, 1e-12, None)
 
 
+def _valid_order(valid: jax.Array):
+    """Compacted valid-rows-first order via one cumsum + scatter (O(n);
+    a top_k/argsort here costs O(n log m) over the full voxel array)."""
+    n = valid.shape[0]
+    v32 = valid.astype(jnp.int32)
+    cnt = jnp.sum(v32)
+    slot = jnp.cumsum(v32) - 1
+    slot = jnp.where(valid, slot, n)
+    order = jnp.zeros((n + 1,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:n]
+    return order, cnt
+
+
 def sample_without_replacement(key: jax.Array, valid: jax.Array, m: int):
     """m distinct random indices, preferring valid rows.
 
-    Returns (idx int32[m], sel_valid bool[m]). When fewer than m rows are
-    valid, the remainder point at invalid rows with sel_valid False —
-    callers must weight by sel_valid (matches reference behavior of using
-    all rows when the pool is small).
+    Jittered-grid (stratified) sampling over the compacted valid order:
+    one uniform draw per stratum of the valid range. Distinct whenever
+    the pool is larger than m; row order is the voxel key order, so
+    strata are also spatially spread — at least as good for negative
+    mining as the reference's iid np.random.choice(..., replace=False).
+
+    Returns (idx int32[m], sel_valid bool[m]). When fewer than m rows
+    are valid, surplus draws repeat pool rows and are masked invalid —
+    callers must weight by sel_valid (matches reference behavior of
+    using all rows when the pool is small).
     """
     n = valid.shape[0]
     m_eff = min(m, n)
-    score = jax.random.uniform(key, valid.shape) - 2.0 * valid.astype(
-        jnp.float32)
-    _, idx = jax.lax.top_k(-score, m_eff)
-    idx = idx.astype(jnp.int32)
-    sel = valid[idx]
+    order, cnt = _valid_order(valid)
+    i = jnp.arange(m_eff + 1, dtype=jnp.float32)
+    r = cnt.astype(jnp.float32) / m_eff
+    edge = jnp.floor(i * r).astype(jnp.int32)  # stratum boundaries
+    lo, hi = edge[:-1], edge[1:]
+    u = jax.random.uniform(key, (m_eff,))
+    pos = lo + (u * (hi - lo).astype(jnp.float32)).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, jnp.maximum(cnt - 1, 0))
+    # empty strata (pool smaller than m) repeat their boundary row;
+    # pos is non-decreasing, so adjacent dedup masks the repeats
+    dup = jnp.concatenate([jnp.zeros((1,), bool), pos[1:] == pos[:-1]])
+    idx = order[pos]
+    sel = ~dup & valid[idx]
     if m_eff < m:
         idx = jnp.pad(idx, (0, m - m_eff))
         sel = jnp.pad(sel, (0, m - m_eff))
@@ -58,12 +85,9 @@ def sample_without_replacement(key: jax.Array, valid: jax.Array, m: int):
 
 def sample_uniform_index(key: jax.Array, valid: jax.Array, shape):
     """Uniform random valid index per output element (with replacement)."""
+    order, cnt = _valid_order(valid)
     n = valid.shape[0]
-    # Sample positions among valid via gumbel-top-1 per draw: cheaper —
-    # draw uniform row, then walk to a valid one by sorting valid first.
-    order = jnp.argsort(~valid)  # valid rows first
-    cnt = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-    r = jax.random.randint(key, shape, 0, n) % cnt
+    r = jax.random.randint(key, shape, 0, n) % jnp.maximum(cnt, 1)
     return order[r].astype(jnp.int32)
 
 

@@ -50,6 +50,20 @@ class GCLLossOut(NamedTuple):
     neg_loss: jax.Array
 
 
+class SpatialNegFilter(NamedTuple):
+    """Geometric intra-group filter for the negative loss: voxel
+    positions in each sample's aligned (center) frame + sample ids.
+
+    xyz: float32[N, 3] aligned positions (junk on padded rows is fine —
+    padded rows are never sampled); sample_id: int32[N];
+    radius: float32[B] per-sample group search radius.
+    """
+
+    xyz: jax.Array
+    sample_id: jax.Array
+    radius: jax.Array
+
+
 def _group_features(f_out, groups, sel_idx, sel_valid):
     """Gather member features for the selected groups.
 
@@ -86,13 +100,19 @@ def _negative_loss(f_out, voxel_mask, pos_pairs, pos_pair_mask, key,
     """Hardest-negative hinge over two random voxel subsets
     (reference :504-535).
 
-    The "pair is actually intra-group" filter accepts either form:
+    The "pair is actually intra-group" filter accepts three forms:
       * pos_pair_mask is an array -> pos_pairs is the explicit sorted
         (min, max) intra-group pair list (intra_group_pairs);
-      * pos_pair_mask is None -> pos_pairs is the per-voxel reverse
-        membership index (member_group_index); co-membership is a tiny
-        set intersection on just the sampled pairs. Identical semantics,
-        but skips materializing ~G*Kc^2 pairs per step.
+      * pos_pair_mask is None, pos_pairs a 2-D int array -> the
+        per-voxel reverse membership index (member_group_index);
+        co-membership is a set intersection on just the sampled pairs;
+      * pos_pair_mask is None, pos_pairs a SpatialNegFilter -> geometric
+        filter: a pair is excluded when the two voxels lie within
+        2 * search_radius in the sample's aligned frame. Co-members are
+        always within 2r of their shared center, so this covers every
+        membership-hash exclusion (and also the near pairs the
+        reference's K-truncated groups miss) with no per-step index
+        sort. This is the training default (StepConfig.neg_filter).
     """
     k1, k2, kr = jax.random.split(key, 3)
     sel1, v1 = sample_without_replacement(k1, voxel_mask, max_hn_samples)
@@ -105,7 +125,15 @@ def _negative_loss(f_out, voxel_mask, pos_pairs, pos_pair_mask, key,
         dmin = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
     closest = sel2[j]
     mask_self = sel1 != closest
-    if pos_pair_mask is None:
+    if isinstance(pos_pairs, SpatialNegFilter):
+        xa = pos_pairs.xyz[sel1]
+        xb = pos_pairs.xyz[closest]
+        same = pos_pairs.sample_id[sel1] == pos_pairs.sample_id[closest]
+        d2 = jnp.sum((xa - xb) ** 2, axis=1)
+        lim = 2.0 * pos_pairs.radius[jnp.clip(pos_pairs.sample_id[sel1],
+                                              0, None)]
+        not_pos = ~(same & (d2 <= lim * lim))
+    elif pos_pair_mask is None:
         ga = pos_pairs[sel1]  # [S, R] group ids containing each anchor
         gb = pos_pairs[closest]
         shared = (ga[:, :, None] == gb[:, None, :]) & (ga >= 0)[:, :, None]

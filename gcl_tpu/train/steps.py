@@ -25,9 +25,10 @@ from ..core.types import SparseBatch
 from ..data.device_pipeline import (batch_colocation_groups,
                                     build_correspondences,
                                     voxelize_per_cloud)
-from ..losses.gcl import (GCLLossConfig, finest_contrastive_loss,
-                          intra_group_pairs, location_circle_loss,
-                          location_contrastive_loss, member_group_index)
+from ..losses.gcl import (GCLLossConfig, SpatialNegFilter,
+                          finest_contrastive_loss, intra_group_pairs,
+                          location_circle_loss, location_contrastive_loss,
+                          member_group_index)
 from ..losses.pairs import (contrastive_loss, hardest_contrastive_loss,
                             hardest_triplet_loss, triplet_loss)
 from ..reg.matching import find_nn
@@ -59,6 +60,11 @@ class StepConfig:
     search_cell: Any = None
     cell_cap: int = 8
     member_r_cap: int = 32  # reverse-membership index width (neg filter)
+    # Negative-loss intra-group filter: 'spatial' (geometric 2r test in
+    # the aligned frame — covers every membership exclusion without the
+    # per-step reverse-index sort) or 'membership' (exact K-truncated
+    # co-membership, the reference's hash semantics).
+    neg_filter: str = "spatial"
     momentum: float = 0.8
     weight_decay: float = 1e-4
     jitter_sigma: float = 0.01
@@ -129,18 +135,29 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
                             step_cfg.level_caps, sorted_blocks=True)
-        return flat, graph, groups, c
+        return flat, graph, groups, vox_b, c
 
     def grad_fn(params, batch_stats, rng, points, pmask, transforms,
                 radius):
         k_loss, k_jit = jax.random.split(rng)
-        flat, graph, groups, c = forward_geometry(points, pmask,
-                                                  transforms, radius)
-        # Reverse membership index instead of the explicit intra-group
-        # pair list — same negative-filter semantics, none of the
-        # G*Kc^2 pair materialization cost.
-        pos_pairs = member_group_index(groups, flat.mask.shape[0],
-                                       step_cfg.member_r_cap)
+        flat, graph, groups, vox_b, c = forward_geometry(points, pmask,
+                                                         transforms,
+                                                         radius)
+        b = points.shape[0]
+        if step_cfg.neg_filter == "spatial":
+            from ..data.device_pipeline import transform_points
+            aligned = jax.vmap(jax.vmap(transform_points))(
+                vox_b.xyz, transforms)  # [B, C, nv, 3] in center frames
+            nv = vox_b.xyz.shape[2]
+            sample_id = jnp.repeat(jnp.arange(b, dtype=jnp.int32), c * nv)
+            pos_pairs = SpatialNegFilter(aligned.reshape(-1, 3),
+                                         sample_id, radius)
+        else:
+            # Reverse membership index instead of the explicit
+            # intra-group pair list — same negative-filter semantics,
+            # none of the G*Kc^2 pair materialization cost.
+            pos_pairs = member_group_index(groups, flat.mask.shape[0],
+                                           step_cfg.member_r_cap)
         ppmask = None
         center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
 

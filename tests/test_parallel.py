@@ -123,4 +123,4 @@ class TestParallel:
         want_flat = jax.tree_util.tree_leaves(want)
         for a, w in zip(got_flat, want_flat):
             np.testing.assert_allclose(np.asarray(a), np.asarray(w),
-                                       atol=1e-5)
+                                       atol=1e-4)
