@@ -260,7 +260,8 @@ def _level_tkeys(level: LevelCoords, stride: int, t_pad: int) -> jax.Array:
 
 
 def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
-                   in_stride: int, offsets: np.ndarray, t_pad: int):
+                   in_stride: int, offsets: np.ndarray, t_pad: int,
+                   win: int):
     """Per-(dx-group, output-tile) input window start/chunk-count for the
     fused conv kernels, from coordinate keys.
 
@@ -272,7 +273,7 @@ def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
     prefix: original rows are cloud-major with per-cloud key order).
     """
     from .coords import searchsorted2
-    from .pallas_conv import TILE, WIN, num_offset_groups
+    from .pallas_conv import TILE, num_offset_groups
 
     sen = jnp.int32(0x7FFFFFFF)
     qhi, qlo = _query_keys(out_level, in_stride, offsets)
@@ -329,9 +330,9 @@ def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
     row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
     row_hi = in_level.perm[jnp.clip(jnp.minimum(pos_hi, n_valid - 1),
                                     0, n - 1)]
-    start = jnp.clip(row_lo & ~127, 0, max(t_pad - WIN, 0))
-    nch = jnp.where(has, -(-(row_hi - start + 1) // WIN), 0)
-    nch = jnp.clip(nch, 0, t_pad // WIN)
+    start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
+    nch = jnp.where(has, -(-(row_hi - start + 1) // win), 0)
+    nch = jnp.clip(nch, 0, t_pad // win)
     return (start.reshape(grp, n_tiles).astype(jnp.int32),
             nch.reshape(grp, n_tiles).astype(jnp.int32))
 
@@ -339,11 +340,11 @@ def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     """FusedMap per unique conv geometry (qkey + windows + level keys)."""
     from .coords import pack_query_keys
-    from .pallas_conv import WIN
+    from .pallas_conv import max_win, win_for_map
 
     tkeys = {}
     for s, lv in levels.items():
-        t_pad = -(-(lv.coords.shape[0] + WIN) // 128) * 128
+        t_pad = -(-(lv.coords.shape[0] + max_win()) // 128) * 128
         tkeys[s] = _level_tkeys(lv, s, t_pad)
 
     fused: Dict[str, FusedMap] = {}
@@ -354,8 +355,9 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
         qk = jax.vmap(
             lambda o: pack_query_keys(folded, o, sp.in_stride)
         )(jnp.asarray(offsets))
+        win = win_for_map(sp.in_stride, sp.out_stride)
         starts, nch = _fused_windows(out_l, in_l, sp.in_stride, offsets,
-                                     tkeys[sp.in_stride].shape[1])
+                                     tkeys[sp.in_stride].shape[1], win)
         fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride])
     return fused
 

@@ -24,10 +24,12 @@ Offsets are processed in dx-GROUPS (kernel_offsets enumerates x-major,
 so rows [g*k^2, (g+1)*k^2) share one dx): offsets within a group differ
 only in (dy, dz), which displace the matched row by a few z-runs, while
 dx displaces it by a whole x-slab (~0.5-1.5 TILEs at KITTI scale).
-Per-group windows are ~2-4x tighter than one window shared by all K
-offsets (measured: k=3 same-level window 574 -> 258 rows median, k=5
-904 -> 259 at TILE=256) — and window width is exactly the per-output
-MXU/VPU cost of the one-hot gather.
+Per-group windows are therefore ~2-4x tighter than one window shared by
+all K offsets (measured: k=3 same-level window 574 -> 258 rows median,
+k=5 904 -> 259 at TILE=256) — and window width is exactly the per-output
+MXU/VPU cost of the one-hot gather. Downsample maps (in level finer than
+out) cover ~2x the rows per output tile, so their windows are twice as
+wide (win_for_map) — one async chunk instead of a synchronous second.
 
   per output tile, per dx-group (double-buffered), per window chunk
   (chunk count is dynamic, usually 1):
@@ -50,14 +52,13 @@ model (/root/reference/model/resunet.py:38-171).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-import os
 
 TILE = int(os.environ.get("GCL_CONV_TILE", "256"))  # out rows / grid step
 WIN = int(os.environ.get("GCL_CONV_WIN", "384"))    # window rows (mult 128)
@@ -79,14 +80,25 @@ def num_offset_groups(k: int) -> int:
     return g if g >= 2 and g ** 3 == k else 1
 
 
+def win_for_map(in_stride: int, out_stride: int) -> int:
+    """Window width for a map reading `in_stride` from `out_stride`
+    outputs: downsample maps see ~2x rows per output tile."""
+    return 2 * WIN if in_stride < out_stride else WIN
+
+
+def max_win() -> int:
+    """Largest window any map may use (level padding must cover it)."""
+    return 2 * WIN
+
+
 def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
-                    groups: int = 1, align: int = 128
+                    groups: int = 1, align: int = 128, win: int = WIN
                     ) -> Tuple[jax.Array, jax.Array]:
     """Per-(group, tile) shared window start + chunk count from an
     EXPLICIT gather table, in plain XLA.
 
     idx: int32[K, N_out_pad] routed gather table (missing == n_in).
-    Window [start, start + nch*WIN) covers every valid entry of every
+    Window [start, start + nch*win) covers every valid entry of every
     offset in the group for that tile; starts are pre-aligned to `align`
     (the kernels' DMA alignment — nch accounts for it) and clamped so
     reads stay inside the padded input (length >= n_in_pad).
@@ -96,7 +108,7 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
     only an explicit table exists (tests, ad-hoc gathers).
     """
     k, n_out_pad = idx.shape
-    n_in = n_in_pad - WIN
+    n_in = n_in_pad - win
     idx_t = idx.reshape(groups, k // groups, n_tiles, TILE)
     valid = idx_t < n_in
     lo = jnp.min(jnp.where(valid, idx_t, jnp.int32(2 ** 30)), axis=(1, 3))
@@ -104,9 +116,9 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
     any_valid = hi >= 0
     start = jnp.where(any_valid, lo, 0)
     start = start & ~(align - 1)
-    start = jnp.clip(start, 0, n_in_pad - WIN)
-    nch = jnp.where(any_valid, _cdiv(hi - start + 1, WIN), 0)
-    nch = jnp.clip(nch, 0, _cdiv(n_in_pad, WIN))
+    start = jnp.clip(start, 0, n_in_pad - win)
+    nch = jnp.where(any_valid, _cdiv(hi - start + 1, win), 0)
+    nch = jnp.clip(nch, 0, _cdiv(n_in_pad, win))
     return start.astype(jnp.int32), nch.astype(jnp.int32)
 
 
@@ -138,7 +150,7 @@ def _fused_from_idx(feats_len, idx):
 
 def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, dt):
+                     K, G, W, dt):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
@@ -146,7 +158,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
     (tile, group) sequence runs tile-major; the next window's key+feature
     DMAs start while the current one computes (grid steps run
     sequentially on TPU, so the buffer freed by sequence step s-1 is safe
-    to overwrite at s+1). Extra chunks (group window span > WIN — rare
+    to overwrite at s+1). Extra chunks (group window span > W — rare
     with per-dx windows) run synchronously off third buffers.
 
     body(k, oh, win) is called for every offset k with the one-hot gather
@@ -159,13 +171,13 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
     def dma_k(g, tile, slot):
         base = pl.multiple_of(starts_ref[g, tile], 128)
         return pltpu.make_async_copy(
-            tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref.at[slot],
+            tk_hbm.at[:, pl.ds(base, W)], kwin_ref.at[slot],
             sems.at[slot, 0])
 
     def dma_x(g, tile, slot):
         base = pl.multiple_of(starts_ref[g, tile], 128)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(base, WIN), :], xwin_ref.at[slot],
+            x_hbm.at[pl.ds(base, W), :], xwin_ref.at[slot],
             sems.at[slot, 1])
 
     @pl.when(i == 0)
@@ -185,7 +197,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                 dma_x(0, i + 1, 1 - slot).start()
         dma_k(g, i, slot).wait()
         dma_x(g, i, slot).wait()
-        tk = kwin_ref[slot, 0:1, :]  # [1, WIN] packed target keys
+        tk = kwin_ref[slot, 0:1, :]  # [1, W] packed target keys
         win = xwin_ref[slot]
         for k in range(g * kg, (g + 1) * kg):
             oh = (qk_ref[k, :][:, None] == tk).astype(dt)
@@ -194,11 +206,11 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
         s0 = starts_ref[g, i]
 
         def extra(c, carry):
-            base = pl.multiple_of(s0 + c * WIN, 128)
+            base = pl.multiple_of(s0 + c * W, 128)
             d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, WIN)], kwin2_ref, sems.at[2, 0])
+                tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2, 0])
             d2 = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(base, WIN), :], xwin2_ref, sems.at[2, 1])
+                x_hbm.at[pl.ds(base, W), :], xwin2_ref, sems.at[2, 1])
             d1.start()
             d2.start()
             d1.wait()
@@ -215,7 +227,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
 
 def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, acc_ref, sems,
-                *, K, G, mm_precision):
+                *, K, G, W, mm_precision):
     dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -228,13 +240,13 @@ def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
 
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, dt)
+                     K, G, W, dt)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
                kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-               *, K, G, mm_precision):
+               *, K, G, W, mm_precision):
     i = pl.program_id(0)
     dt = xwin2_ref.dtype
 
@@ -253,11 +265,11 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
 
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, dt)
+                     K, G, W, dt)
 
 
 def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
-                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G):
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G, W):
     """Double-buffered lane-sliced window pipeline for the Cin==1 /
     Cout==1 kernels (keys [8, W] + scalar features [rows, W]); same
     (tile, group) sequencing as _windowed_gather, extra chunks off the
@@ -268,13 +280,13 @@ def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
     def dma_k(g, tile, slot):
         base = pl.multiple_of(starts_ref[g, tile], 128)
         return pltpu.make_async_copy(
-            tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref.at[slot],
+            tk_hbm.at[:, pl.ds(base, W)], kwin_ref.at[slot],
             sems.at[slot, 0])
 
     def dma_x(g, tile, slot):
         base = pl.multiple_of(starts_ref[g, tile], 128)
         return pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(base, WIN)], xwin_ref.at[slot],
+            xt_hbm.at[:, pl.ds(base, W)], xwin_ref.at[slot],
             sems.at[slot, 1])
 
     @pl.when(i == 0)
@@ -299,11 +311,11 @@ def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
         s0 = starts_ref[g, i]
 
         def extra(c, carry, g=g, s0=s0):
-            base = pl.multiple_of(s0 + c * WIN, 128)
+            base = pl.multiple_of(s0 + c * W, 128)
             d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, WIN)], kwin2_ref, sems.at[2, 0])
+                tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2, 0])
             d2 = pltpu.make_async_copy(
-                xt_hbm.at[:, pl.ds(base, WIN)], xwin2_ref, sems.at[2, 1])
+                xt_hbm.at[:, pl.ds(base, W)], xwin2_ref, sems.at[2, 1])
             d1.start()
             d2.start()
             d1.wait()
@@ -316,7 +328,7 @@ def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
 
 def _fwd_c1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, xt_hbm,
                    out_ref, acc_ref, kwin_ref, xwin_ref, kwin2_ref,
-                   xwin2_ref, sems, *, K, G):
+                   xwin2_ref, sems, *, K, G, W):
     """Cin == 1 forward (ResUNet conv1 on occupancy features).
 
     The generic kernel would pad the single channel to 128 MXU lanes
@@ -337,12 +349,13 @@ def _fwd_c1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, xt_hbm,
         acc_ref[:, :] += acc
 
     _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
-                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G)
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G, W)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _fwd_co1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, gt_hbm,
-                    out_ref, kwin_ref, xwin_ref, sems, *, K, G, C):
+                    out_ref, acc_ref, kwin_ref, xwin_ref, kwin2_ref,
+                    xwin2_ref, sems, *, K, G, W, C):
     """Cout == 1 forward (dX of a Cin==1 conv through reverse queries).
 
     out[j] = sum_k gather(g, k)[j] @ W[k]  with W[k] a [C, 1] column.
@@ -350,41 +363,28 @@ def _fwd_co1_kernel(starts_ref, nch_ref, qk_ref, w2_ref, tk_hbm, gt_hbm,
     g passed pre-transposed [C, N]); then each offset is a VPU masked
     row-sum — no 128x output padding.
     """
-    i = pl.program_id(0)
     kg = K // G
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g in range(G):
-        s0 = starts_ref[g, i]
-        nc = nch_ref[g, i]
+    def body_group(g, tk, xwin):
+        yt = jnp.dot(w2_ref[:, :], xwin[:, :].astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [K, W]
+        acc = jnp.zeros(acc_ref.shape, jnp.float32)
+        for k in range(g * kg, (g + 1) * kg):
+            oh = qk_ref[k, :][:, None] == tk
+            acc = acc + jnp.sum(jnp.where(oh, yt[k:k + 1, :], 0.0),
+                                axis=1)[:, None]
+        acc_ref[:, :] += acc
 
-        def chunk(c, acc, g=g, s0=s0):
-            base = pl.multiple_of(s0 + c * WIN, 128)
-            d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, WIN)], kwin_ref, sems.at[0])
-            d2 = pltpu.make_async_copy(
-                gt_hbm.at[:, pl.ds(base, WIN)], xwin_ref, sems.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
-            tk = kwin_ref[0:1, :]
-            yt = jnp.dot(w2_ref[:, :], xwin_ref[:, :].astype(jnp.float32),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # [K, W]
-            for k in range(g * kg, (g + 1) * kg):
-                oh = qk_ref[k, :][:, None] == tk
-                acc = acc + jnp.sum(jnp.where(oh, yt[k:k + 1, :], 0.0),
-                                    axis=1)[:, None]
-            return acc
-
-        acc = jax.lax.fori_loop(0, nc, chunk, acc)
-    out_ref[:, :] = acc.astype(out_ref.dtype)
+    _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, gt_hbm,
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G, W)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
                   dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                  *, K, G):
+                  *, K, G, W):
     """Cin == 1 dW: dW[k, 0, :] = sum_i x[match(k, i)] * g[i, :]."""
     i = pl.program_id(0)
     kg = K // G
@@ -403,7 +403,7 @@ def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
             dw_ref[k, 0, :] += jnp.sum(g_k[:, None] * gt, axis=0)
 
     _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
-                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G)
+                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems, G, W)
 
 
 # ----------------------------------------------------------------------
@@ -438,7 +438,7 @@ def _prep_t(col: jax.Array, t_pad: int):
     return r.at[0, :col.shape[0]].set(col.astype(jnp.float32))
 
 
-def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
+def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, win, interpret):
     k = qkey.shape[0]
     n_out = qkey.shape[1]
     grp = starts.shape[0]
@@ -449,7 +449,7 @@ def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
     xt = _prep_t(feats[:, 0], t_pad)
     w2 = weights[:, 0, :].astype(jnp.float32)
 
-    kern = functools.partial(_fwd_c1_kernel, K=k, G=grp)
+    kern = functools.partial(_fwd_c1_kernel, K=k, G=grp, W=win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -465,10 +465,10 @@ def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TILE, cout0), jnp.float32),
-            pltpu.VMEM((2, 8, WIN), jnp.int32),
-            pltpu.VMEM((2, 4, WIN), jnp.float32),
-            pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((4, WIN), jnp.float32),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((2, 4, win), jnp.float32),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((4, win), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
@@ -481,7 +481,8 @@ def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
     return out[:n_out]
 
 
-def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
+def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, win,
+                  interpret):
     n_in, c0 = feats.shape
     k, n_out = qkey.shape
     grp = starts.shape[0]
@@ -491,7 +492,7 @@ def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
     gt = jnp.zeros((c0, t_pad), feats.dtype).at[:, :n_in].set(feats.T)
     w2 = weights[:, :, 0].astype(jnp.float32)
 
-    kern = functools.partial(_fwd_co1_kernel, K=k, G=grp, C=c0)
+    kern = functools.partial(_fwd_co1_kernel, K=k, G=grp, W=win, C=c0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -506,9 +507,12 @@ def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
         out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((c0, WIN), feats.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE, 1), jnp.float32),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((2, c0, win), feats.dtype),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((c0, win), feats.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -519,7 +523,7 @@ def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, interpret):
     return out[:n_out]
 
 
-def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
+def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win, interpret):
     k, n_out = qkey.shape
     grp = starts.shape[0]
     n_tiles = starts.shape[1]
@@ -529,7 +533,7 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
     xt = _prep_t(feats[:, 0], t_pad)
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out), (0, 0)))
 
-    kern = functools.partial(_dw_c1_kernel, K=k, G=grp)
+    kern = functools.partial(_dw_c1_kernel, K=k, G=grp, W=win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -544,10 +548,10 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
         out_specs=pl.BlockSpec((k, 1, cout0), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, WIN), jnp.int32),
-            pltpu.VMEM((2, 4, WIN), jnp.float32),
-            pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((4, WIN), jnp.float32),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((2, 4, win), jnp.float32),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((4, win), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
@@ -560,7 +564,7 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret):
 
 def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
                    starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
-                   interpret: bool = False) -> jax.Array:
+                   win: int = WIN, interpret: bool = False) -> jax.Array:
     """out[i] = sum_k x[row with key == qkey[k, i]] @ W[k] (0 if absent)."""
     n_in, c0 = feats.shape
     k, n_out = qkey.shape
@@ -570,10 +574,10 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     cout0 = weights.shape[-1]
     if c0 == 1:
         return _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys,
-                            interpret)
+                            win, interpret)
     if cout0 == 1:
         return _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys,
-                             interpret)
+                             win, interpret)
     qp = _pad_qkey(qkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     xp = _pad_feats(feats, t_pad, c)
@@ -581,7 +585,7 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     wd = jnp.pad(weights.astype(feats.dtype),
                  ((0, 0), (0, c - c0), (0, cout - cout0)))
 
-    kern = functools.partial(_fwd_kernel, K=k, G=grp,
+    kern = functools.partial(_fwd_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -597,10 +601,10 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
         out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, WIN), jnp.int32),
-            pltpu.VMEM((2, WIN, c), feats.dtype),
-            pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((WIN, c), feats.dtype),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((2, win, c), feats.dtype),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((win, c), feats.dtype),
             pltpu.VMEM((TILE, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
@@ -610,9 +614,9 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout), feats.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * k * n_tiles * TILE * WIN * c
+            flops=2 * k * n_tiles * TILE * win * c
             + 2 * k * n_tiles * TILE * c * cout,
-            bytes_accessed=(n_tiles * grp * WIN * c * feats.dtype.itemsize
+            bytes_accessed=(n_tiles * grp * win * c * feats.dtype.itemsize
                             + n_tiles * TILE * cout * 4),
             transcendentals=0,
         ),
@@ -623,10 +627,11 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
 
 def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
                   starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
-                  interpret: bool = False) -> jax.Array:
+                  win: int = WIN, interpret: bool = False) -> jax.Array:
     """dW[k] = sum_i x[match(k, i)]^T g[i]  (same shared windows)."""
     if feats.shape[1] == 1:
-        return _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, interpret)
+        return _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win,
+                           interpret)
     n_in, c0 = feats.shape
     k, n_out = qkey.shape
     grp = starts.shape[0]
@@ -640,7 +645,7 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
                      (0, cout - cout0))).astype(feats.dtype)
 
-    kern = functools.partial(_dw_kernel, K=k, G=grp,
+    kern = functools.partial(_dw_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -656,10 +661,10 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
         out_specs=pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, WIN), jnp.int32),
-            pltpu.VMEM((2, WIN, c), feats.dtype),
-            pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((WIN, c), feats.dtype),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((2, win, c), feats.dtype),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((win, c), feats.dtype),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
@@ -679,14 +684,15 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
     keys; the production path passes coordinate keys (fused_conv_fwd)."""
     qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
-                          interpret)
+                          win=WIN, interpret=interpret)
 
 
 def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Index-table API for dW (see pallas_conv_fwd)."""
     qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
-    return fused_conv_dw(feats, g, qkey, starts, nch, tkeys, interpret)
+    return fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
+                         win=WIN, interpret=interpret)
 
 
 def pallas_available() -> bool:

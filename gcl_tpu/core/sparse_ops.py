@@ -175,41 +175,42 @@ _sparse_conv_rev_core.defvjp(_sparse_conv_rev_fwd, _sparse_conv_rev_bwd)
 FORCE_INTERPRET = False
 
 
-def _fused_forward(feats, weights, qkey, starts, nch, tkeys):
+def _fused_forward(feats, weights, qkey, starts, nch, tkeys, win):
     from .pallas_conv import fused_conv_fwd, pallas_available
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
+                          win=win,
                           interpret=not pallas_available()
                           and FORCE_INTERPRET)
 
 
-@jax.custom_vjp
-def _sparse_conv_fused_core(feats, weights, qkey, starts, nch, tkeys,
-                            rqkey, rstarts, rnch, rtkeys):
-    return _fused_forward(feats, weights, qkey, starts, nch, tkeys)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sparse_conv_fused_core(win, rwin, feats, weights, qkey, starts, nch,
+                            tkeys, rqkey, rstarts, rnch, rtkeys):
+    return _fused_forward(feats, weights, qkey, starts, nch, tkeys, win)
 
 
-def _sparse_conv_fused_fwd(feats, weights, qkey, starts, nch, tkeys,
-                           rqkey, rstarts, rnch, rtkeys):
-    out = _fused_forward(feats, weights, qkey, starts, nch, tkeys)
+def _sparse_conv_fused_fwd(win, rwin, feats, weights, qkey, starts, nch,
+                           tkeys, rqkey, rstarts, rnch, rtkeys):
+    out = _fused_forward(feats, weights, qkey, starts, nch, tkeys, win)
     return out, (feats, weights, qkey, starts, nch, tkeys, rqkey,
                  rstarts, rnch, rtkeys)
 
 
-def _sparse_conv_fused_bwd(res, g):
+def _sparse_conv_fused_bwd(win, rwin, res, g):
     """Scatter-free backward: dX is itself a fused convolution through the
     reverse-direction queries with flipped transposed weights (offset
     duality — see _sparse_conv_rev_bwd); dW shares the forward windows."""
     (feats, weights, qkey, starts, nch, tkeys, rqkey, rstarts, rnch,
      rtkeys) = res
-    from .pallas_conv import fused_conv_dw, pallas_available
+    from .pallas_conv import fused_conv_dw, fused_conv_fwd, \
+        pallas_available
     interp = not pallas_available() and FORCE_INTERPRET
     g = g.astype(feats.dtype)
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
-    from .pallas_conv import fused_conv_fwd
     dx = fused_conv_fwd(g, w_rev_t, rqkey, rstarts, rnch, rtkeys,
-                        interpret=interp)
+                        win=rwin, interpret=interp)
     dw = fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
-                       interpret=interp)
+                       win=win, interpret=interp)
     return (dx.astype(feats.dtype), dw.astype(weights.dtype),
             None, None, None, None, None, None, None, None)
 
@@ -218,17 +219,21 @@ _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
                                _sparse_conv_fused_bwd)
 
 
-def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm,
-                      rfm) -> jax.Array:
+def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm, rfm,
+                      win: int = None, rwin: int = None) -> jax.Array:
     """Sparse convolution over an implicit kernel map (types.FusedMap).
 
     The Mosaic kernels resolve the map in-flight by comparing packed
     query keys against the window's target keys — no materialized gather
     table, no join pass. `rfm` is the reverse-direction FusedMap (same
     coordinate join with in/out swapped); the backward dX pass runs the
-    forward kernel through it with flipped transposed weights.
+    forward kernel through it with flipped transposed weights. win/rwin
+    are the static window widths the maps were built with
+    (pallas_conv.win_for_map); default WIN.
     """
-    return _sparse_conv_fused_core(feats, weights, fm.qkey, fm.starts,
+    from .pallas_conv import WIN
+    return _sparse_conv_fused_core(win or WIN, rwin or WIN, feats,
+                                   weights, fm.qkey, fm.starts,
                                    fm.nch, fm.tkeys, rfm.qkey, rfm.starts,
                                    rfm.nch, rfm.tkeys)
 
