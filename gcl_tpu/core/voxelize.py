@@ -53,16 +53,36 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
         jnp.arange(P, dtype=jnp.int32)[None, :], (B, P)).reshape(-1)
     flat_cloud = cloud_id.reshape(-1)
 
-    hi, lo = coord_keys(coords)
-    hi_s, lo_s, coords_s, cid_s, pid_s = sort_by_keys(
-        hi, lo, coords, flat_cloud, point_id)
+    if B == 1:
+        # single-cloud fast path (voxelize_per_cloud vmaps over B=1):
+        # one packed 28-bit (x, y, z) int32 key -> a 2-operand stable
+        # sort instead of the 3-operand lexicographic (hi, lo) sort
+        xyz = jnp.clip(vcoords.reshape(P, 3),
+                       jnp.asarray([-512, -512, -128], jnp.int32),
+                       jnp.asarray([511, 511, 127], jnp.int32))
+        key = (((xyz[:, 0] + 512) << 18) | ((xyz[:, 1] + 512) << 8)
+               | (xyz[:, 2] + 128))
+        key = jnp.where(mask.reshape(-1), key, jnp.int32(0x7FFFFFFF))
+        iota = jnp.arange(P, dtype=jnp.int32)
+        key_s, perm = jax.lax.sort((key, iota), num_keys=1,
+                                   is_stable=True)
+        coords_s = coords[perm]
+        cid_s = flat_cloud[perm]
+        pid_s = point_id[perm]
+        first = jnp.concatenate([
+            jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+        valid = first & (cid_s != INVALID_BATCH)
+    else:
+        hi, lo = coord_keys(coords)
+        hi_s, lo_s, coords_s, cid_s, pid_s = sort_by_keys(
+            hi, lo, coords, flat_cloud, point_id)
 
-    # First occurrence of each key in sorted order is the unique voxel.
-    first = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-    ])
-    valid = first & (cid_s != INVALID_BATCH)
+        # First occurrence of each key in sorted order = the unique voxel.
+        first = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ])
+        valid = first & (cid_s != INVALID_BATCH)
 
     # Compact the unique voxels into n_cap slots.
     slot = jnp.cumsum(valid.astype(jnp.int32)) - 1

@@ -15,6 +15,7 @@ class AverageMeter:
         self.avg = 0.0
         self.sum = 0.0
         self.sq_sum = 0.0
+        self.var = 0.0
         self.count = 0
 
     def update(self, val, n=1):
