@@ -50,7 +50,11 @@ def main():
                                      make_gcl_train_step, make_optimizer)
     from gcl_tpu.core.kernel_maps import build_graph
 
-    b, n_clouds = 4, 7  # train_gcl_kitti.sh: BATCH_SIZE=4, 6 neighbors
+    # train_gcl_kitti.sh: BATCH_SIZE=4, 6 neighbors. GCL_BENCH_BATCH
+    # overrides the batch (the TPU fits larger batches than the
+    # reference's consumer GPU; voxels/s is the comparable metric).
+    import os
+    b, n_clouds = int(os.environ.get("GCL_BENCH_BATCH", "4")), 7
     p_cap = 65536       # points per cloud fed to the voxelizer
     nv_cap = 18432      # ~KITTI voxel count at 0.3 m
     model = ResUNetFatBN(1, 32, bn_momentum=0.05, normalize_feature=True,
