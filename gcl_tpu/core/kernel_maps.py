@@ -358,7 +358,8 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
         win = win_for_map(sp.in_stride, sp.out_stride)
         starts, nch = _fused_windows(out_l, in_l, sp.in_stride, offsets,
                                      tkeys[sp.in_stride].shape[1], win)
-        fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride])
+        fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride],
+                                 win)
     return fused
 
 

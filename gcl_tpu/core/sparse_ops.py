@@ -219,20 +219,18 @@ _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
                                _sparse_conv_fused_bwd)
 
 
-def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm, rfm,
-                      win: int = None, rwin: int = None) -> jax.Array:
+def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm,
+                      rfm) -> jax.Array:
     """Sparse convolution over an implicit kernel map (types.FusedMap).
 
     The Mosaic kernels resolve the map in-flight by comparing packed
     query keys against the window's target keys — no materialized gather
     table, no join pass. `rfm` is the reverse-direction FusedMap (same
     coordinate join with in/out swapped); the backward dX pass runs the
-    forward kernel through it with flipped transposed weights. win/rwin
-    are the static window widths the maps were built with
-    (pallas_conv.win_for_map); default WIN.
+    forward kernel through it with flipped transposed weights. The
+    static window widths travel with the maps (FusedMap.win).
     """
-    from .pallas_conv import WIN
-    return _sparse_conv_fused_core(win or WIN, rwin or WIN, feats,
+    return _sparse_conv_fused_core(fm.win, rfm.win, feats,
                                    weights, fm.qkey, fm.starts,
                                    fm.nch, fm.tkeys, rfm.qkey, rfm.starts,
                                    rfm.nch, rfm.tkeys)

@@ -70,7 +70,8 @@ class LevelCoords(NamedTuple):
         return self.coords.shape[0]
 
 
-class FusedMap(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class FusedMap:
     """Implicit kernel map: geometry the Mosaic conv kernels resolve
     in-flight by key equality, skipping the explicit join pass.
 
@@ -89,12 +90,25 @@ class FusedMap(NamedTuple):
       tkeys: int32[8, T_pad] stacked packed input-level keys in ORIGINAL
         row order (row 0; rows 1-7 zero), sentinel-padded to the padded
         feature length. Shared by every map reading the same level.
+      win: STATIC window width (rows per DMA chunk) the starts/nch were
+        computed with — carried as pytree aux data so the consuming
+        kernel can never disagree with the builder (a mismatched width
+        silently under-covers windows).
     """
 
-    qkey: jax.Array
-    starts: jax.Array
-    nch: jax.Array
-    tkeys: jax.Array
+    def __init__(self, qkey, starts, nch, tkeys, win: int):
+        self.qkey = qkey
+        self.starts = starts
+        self.nch = nch
+        self.tkeys = tkeys
+        self.win = win
+
+    def tree_flatten(self):
+        return (self.qkey, self.starts, self.nch, self.tkeys), self.win
+
+    @classmethod
+    def tree_unflatten(cls, win, children):
+        return cls(*children, win)
 
 
 class SparseGraph(NamedTuple):

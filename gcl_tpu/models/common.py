@@ -47,13 +47,8 @@ class SparseConv(nn.Module):
             rk = map_key(self.spec.out_stride, self.spec.in_stride,
                          self.spec.kernel_size, self.spec.dilation)
             if graph.fused is not None:
-                from ..core.pallas_conv import win_for_map
-                y = sparse_conv_fused(
-                    x, w, graph.fused[self.spec.key], graph.fused[rk],
-                    win=win_for_map(self.spec.in_stride,
-                                    self.spec.out_stride),
-                    rwin=win_for_map(self.spec.out_stride,
-                                     self.spec.in_stride))
+                y = sparse_conv_fused(x, w, graph.fused[self.spec.key],
+                                      graph.fused[rk])
             else:
                 rev = (graph.kmaps.get(rk)
                        if self.spec.kernel_size % 2 == 1 else None)
