@@ -237,10 +237,12 @@ def _build_kmap_pallas(out_level: LevelCoords, in_level: LevelCoords,
 
 def _fold_clouds(coords: jax.Array) -> jax.Array:
     """Fold the cloud id into [0, 31) for packed keys (PAD_CLOUD = 31 is
-    reserved). Conv windows only ever span ADJACENT clouds (both query
-    rows and target rows are cloud-major), so cloud ids 31 apart can
-    never be co-windowed and the fold keeps packed keys collision-free
-    for any batch size."""
+    reserved). The fold is injective — hence collision-free — only when
+    the device batch holds at most 31 clouds: with more, clouds 31 apart
+    can alias, and if the clouds between them are empty (fully padded
+    tail samples) their rows can land in one conv window and produce
+    false key matches. build_graph therefore only auto-selects the fused
+    path when the caller declares n_clouds <= 31."""
     c = coords[:, 0]
     fc = jnp.where(c >= INVALID_BATCH, c, c % 31)
     return jnp.concatenate([fc[:, None], coords[:, 1:]], axis=1)
@@ -391,7 +393,8 @@ def build_graph(coords: jax.Array, mask: jax.Array,
                 level_caps: Dict[int, int],
                 method: str = "auto",
                 key_bits=None,
-                sorted_blocks: bool = False) -> SparseGraph:
+                sorted_blocks: bool = False,
+                n_clouds: int | None = None) -> SparseGraph:
     """Build all stride levels + kernel maps needed by a conv plan.
 
     Args:
@@ -412,6 +415,11 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         block key-sorted and padding inline at block tails
         (voxelize_per_cloud output) — the level-0 index then compacts
         instead of sorting.
+      n_clouds: static upper bound on the number of clouds in `coords`.
+        The fused path folds cloud ids mod 31 into its packed keys, which
+        is only injective for <= 31 clouds per device batch; 'auto'
+        selects fused only when the caller declares n_clouds <= 31 and
+        falls back to explicit Mosaic merge-join maps otherwise.
 
     This function is jittable (specs/level_caps static via closure).
     """
@@ -458,16 +466,33 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         if pallas_available():
             # fused windows require the original row order to be
             # cloud-blocked key-sorted (queries monotone per offset,
-            # level perm increasing on the valid prefix)
-            method = "fused" if sorted_blocks else "pallas"
+            # level perm increasing on the valid prefix) AND a declared
+            # cloud count small enough for the mod-31 fold to be exact
+            fused_ok = (sorted_blocks and n_clouds is not None
+                        and n_clouds <= 31)
+            method = "fused" if fused_ok else "pallas"
         else:
             method = "sortjoin"
 
     if method == "fused":
         assert sorted_blocks, \
             "method='fused' requires sorted_blocks coords layout"
-        return SparseGraph(levels=levels, kmaps={},
-                           fused=_build_fused_maps(levels, uniq))
+        assert n_clouds is None or n_clouds <= 31, \
+            "fused path folds cloud ids mod 31; > 31 clouds per device " \
+            "batch can alias (use method='pallas')"
+        # Even-kernel geometries have no reverse-direction twin (their
+        # offset set is not symmetric), which the fused backward needs —
+        # give them explicit maps instead; SparseConv falls back per-map.
+        fusable = [sp for sp in uniq if sp.kernel_size % 2 == 1]
+        rest = [sp for sp in uniq if sp.kernel_size % 2 == 0]
+        kmaps = {}
+        for sp in rest:
+            offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
+            kmaps[sp.key] = _build_kmap_pallas(levels[sp.out_stride],
+                                               levels[sp.in_stride],
+                                               sp.in_stride, offsets)
+        return SparseGraph(levels=levels, kmaps=kmaps,
+                           fused=_build_fused_maps(levels, fusable))
 
     kmaps: Dict[str, jax.Array] = {}
     if method == "sortjoin":

@@ -57,12 +57,19 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
         # single-cloud fast path (voxelize_per_cloud vmaps over B=1):
         # one packed 28-bit (x, y, z) int32 key -> a 2-operand stable
         # sort instead of the 3-operand lexicographic (hi, lo) sort
-        xyz = jnp.clip(vcoords.reshape(P, 3),
-                       jnp.asarray([-512, -512, -128], jnp.int32),
-                       jnp.asarray([511, 511, 127], jnp.int32))
+        xyz = vcoords.reshape(P, 3)
+        # Points outside the 28-bit key range are dropped (marked invalid)
+        # rather than clipped: clipping would alias distinct voxels into
+        # one and could emit rows out of sorted-key order, violating the
+        # sorted_blocks contract the fused conv windows rely on.
+        in_range = jnp.all(
+            (xyz >= jnp.asarray([-512, -512, -128], jnp.int32))
+            & (xyz <= jnp.asarray([511, 511, 127], jnp.int32)), axis=1)
+        ok = mask.reshape(-1) & in_range
         key = (((xyz[:, 0] + 512) << 18) | ((xyz[:, 1] + 512) << 8)
                | (xyz[:, 2] + 128))
-        key = jnp.where(mask.reshape(-1), key, jnp.int32(0x7FFFFFFF))
+        key = jnp.where(ok, key, jnp.int32(0x7FFFFFFF))
+        flat_cloud = jnp.where(ok, flat_cloud, INVALID_BATCH)
         iota = jnp.arange(P, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, iota), num_keys=1,
                                    is_stable=True)

@@ -227,20 +227,8 @@ def batched_grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
     core.pallas_radius.windowed_cell_topk (XLA gathers ran the
     colocation-group search at ~0.9 s/step at KITTI scale).
     """
-    from ..core.pallas_radius import windowed_cell_topk
-
     s_n, q_n, _ = queries.shape
-    t_n = targets.shape[1]
     r = jnp.minimum(radius.astype(jnp.float32), cell * 0.5)
-
-    tkey, t_ok = _cell_key(jnp.floor(
-        jnp.where(t_mask[..., None], targets, 1e30) / cell
-    ).astype(jnp.int32), t_mask)
-    tx = jnp.where(t_ok[..., None], targets, 1e30)
-    iota_t = jnp.broadcast_to(jnp.arange(t_n, dtype=jnp.int32),
-                              (s_n, t_n))
-    tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
-    txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
 
     rows_s, d2_s, qperm = _batched_grid_core(queries, q_mask, targets,
                                              t_mask, r, k, cell,
@@ -363,8 +351,13 @@ def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
     ghit = hit.transpose(1, 0, 2).reshape(-1, c * k)
     member_idx = jnp.where(ghit, gidx, -1)
 
-    # finest: nearest hit of each cloud, compared by its own-frame norm;
-    # center voxel (column 0) is the default with its own norm
+    # finest: EXACT reference semantics (util/pointcloud.py:92-114):
+    # the reference compares, per NEIGHBOR cloud, only the norm of that
+    # cloud's FIRST radius hit (idx[0], nearest to the query) against
+    # the center point's own norm (the default), taking the earliest
+    # cloud on ties (strict <). argmin over [center_norm, first-hit
+    # norms] with first-occurrence tie-break reproduces this exactly;
+    # tests/test_device_pipeline.py holds the faithful numpy oracle.
     first_norm = jnp.where(hit[:, :, 0],
                            own_norms[jnp.arange(c)[:, None], idx[:, :, 0]],
                            1e30)  # [C, Q]
@@ -376,12 +369,18 @@ def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
 
     cross_hit = jnp.any(hit[1:], axis=(0, 2))
     valid = center_mask & cross_hit
+    # anchor = the center voxel's INTEGER voxel coordinates, exactly what
+    # the reference circle loss uses (lib/colocation_trainer.py:858
+    # passes sinput_C[:, 1:]) — same semantics on every code path.
+    anchor = vox.coords[0, :, 1:4]
+    if qperm is not None:
+        anchor = anchor[qperm]
     return ColocationGroups(
         member_idx=member_idx,
         member_mask=ghit & valid[:, None],
         finest_pos=finest_pos,
         valid=valid,
-        anchor_xyz=jnp.floor(center_xyz).astype(jnp.float32),  # placeholder
+        anchor_xyz=anchor.astype(jnp.float32),
         anchor_item=jnp.zeros(nv, jnp.int32),
     )
 
@@ -439,19 +438,16 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
         groups = jax.vmap(_assemble_groups)(
             vox_b, idx.reshape(b, c, nv, k), hit.reshape(b, c, nv, k),
             qperm)
-        anchor_src = jnp.take_along_axis(
-            vox_b.coords[:, 0, :, 1:4], qperm[..., None], axis=1)
     else:
         groups = jax.vmap(
             lambda v, t, r: build_colocation_groups(v, t, r, k, chunk,
                                                     cell, cell_cap)
         )(vox_b, transforms_b, radius_b)
-        anchor_src = vox_b.coords[:, 0, :, 1:4]
 
     sample_off = (jnp.arange(b, dtype=jnp.int32) * (c * nv))[:, None, None]
     member_idx = jnp.where(groups.member_idx >= 0,
                            groups.member_idx + sample_off, -1)
-    anchor_xyz = anchor_src.astype(jnp.float32)
+    anchor_xyz = groups.anchor_xyz
     anchor_item = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None], (b, nv))
 

@@ -46,7 +46,10 @@ class SparseConv(nn.Module):
                             self.out_ch))
             rk = map_key(self.spec.out_stride, self.spec.in_stride,
                          self.spec.kernel_size, self.spec.dilation)
-            if graph.fused is not None:
+            # build_graph only builds reverse-direction twins (needed by
+            # the scatter-free backward) for odd kernels; even-kernel
+            # geometries must use the explicit kmap path.
+            if graph.fused is not None and rk in graph.fused:
                 y = sparse_conv_fused(x, w, graph.fused[self.spec.key],
                                       graph.fused[rk])
             else:

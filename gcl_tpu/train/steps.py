@@ -134,7 +134,8 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
                                          cell_cap=step_cfg.cell_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps, sorted_blocks=True)
+                            step_cfg.level_caps, sorted_blocks=True,
+                            n_clouds=b * c)
         return flat, graph, groups, vox_b, c
 
     def grad_fn(params, batch_stats, rng, points, pmask, transforms,
@@ -223,18 +224,19 @@ def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
 # FCGF (pair) training step
 # ----------------------------------------------------------------------
 
-def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
-                         trainer_kind: str, cfg: Dict
-                         ) -> Tuple[Any, Callable]:
-    """Pair-loss training (Hardest/Contrastive/Triplet trainers).
+def make_pair_grad_fn(model, conv_specs, step_cfg: StepConfig,
+                      trainer_kind: str, cfg: Dict) -> Callable:
+    """grad_fn(params, batch_stats, rng, points0[B,P,3], pmask0, points1,
+    pmask1, trans[B,4,4], radius[B]) -> (grads, new_stats, metrics) for
+    the pair-loss trainers (Hardest/Contrastive/Triplet).
 
-    step_fn(state, lr, points0[B,P,3], pmask0, points1, pmask1,
-            trans[B,4,4], radius[B]) -> (state, metrics)
     The two sides run through the model as separate batched sparse
     tensors, like the reference's two forward passes
-    (lib/trainer.py:243-251).
+    (lib/trainer.py:243-251). Shared by the single-chip step and the
+    shard_map data-parallel step.
     """
-    tx = make_optimizer(step_cfg)
+
+    jitter = bool(cfg.get("jitter_feats", True))
 
     def side_forward(params, batch_stats, points, pmask, key, train=True):
         b, p, _ = points.shape
@@ -242,10 +244,18 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
                                  step_cfg.nv_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps, sorted_blocks=True)
+                            step_cfg.level_caps, sorted_blocks=True,
+                            n_clouds=b)
+        feats = flat.feats
+        if train and jitter:
+            # the reference composes the Jitter feature-noise transform
+            # into train-phase pair loaders too
+            # (lib/colocation_data_loader.py:742-747, lib/transforms.py)
+            feats = _jitter_feats(feats, flat.mask, key,
+                                  step_cfg.jitter_sigma,
+                                  step_cfg.jitter_p)
         f, mut = model.apply({"params": params, "batch_stats": batch_stats},
-                             graph, flat.feats.astype(
-                                 step_cfg.compute_dtype),
+                             graph, feats.astype(step_cfg.compute_dtype),
                              train=train, mutable=["batch_stats"])
         return vox, flat, f.astype(jnp.float32), mut["batch_stats"]
 
@@ -272,16 +282,15 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
     neg_thresh = cfg["neg_thresh"]
     neg_weight = cfg["neg_weight"]
 
-    @jax.jit
-    def step_fn(state: TrainState, lr, points0, pmask0, points1, pmask1,
-                trans, radius):
-        rng, k_loss = jax.random.split(state.rng)
-
+    def grad_fn(params_in, batch_stats_in, k_loss, points0, pmask0,
+                points1, pmask1, trans, radius):
         def loss(params):
             vox0, flat0, f0, stats1 = side_forward(
-                params, state.batch_stats, points0, pmask0, k_loss)
+                params, batch_stats_in, points0, pmask0,
+                jax.random.fold_in(k_loss, 0))
             vox1, flat1, f1, stats2 = side_forward(
-                params, stats1, points1, pmask1, k_loss)
+                params, stats1, points1, pmask1,
+                jax.random.fold_in(k_loss, 1))
             pairs, pm = batch_correspondences(vox0, vox1, trans, radius)
             if trainer_kind == "hardest_contrastive":
                 out = hardest_contrastive_loss(
@@ -315,10 +324,34 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
             return total, (aux, stats2)
 
         (total, (aux, new_stats)), grads = jax.value_and_grad(
-            loss, has_aux=True)(state.params)
+            loss, has_aux=True)(params_in)
+        metrics = {"loss": total, **aux}
+        return grads, new_stats, metrics
+
+    return grad_fn
+
+
+def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
+                         trainer_kind: str, cfg: Dict
+                         ) -> Tuple[Any, Callable]:
+    """Single-chip pair-loss train step: (tx, step_fn).
+
+    step_fn(state, lr, points0[B,P,3], pmask0, points1, pmask1,
+            trans[B,4,4], radius[B]) -> (state, metrics)
+    """
+    tx = make_optimizer(step_cfg)
+    grad_fn = make_pair_grad_fn(model, conv_specs, step_cfg, trainer_kind,
+                                cfg)
+
+    @jax.jit
+    def step_fn(state: TrainState, lr, points0, pmask0, points1, pmask1,
+                trans, radius):
+        rng, k_loss = jax.random.split(state.rng)
+        grads, new_stats, metrics = grad_fn(
+            state.params, state.batch_stats, k_loss, points0, pmask0,
+            points1, pmask1, trans, radius)
         params, opt_state = _apply_sgd(tx, grads, state.opt_state,
                                        state.params, lr)
-        metrics = {"loss": total, **aux}
         return TrainState(params, new_stats, opt_state, rng,
                           state.step + 1), metrics
 
@@ -339,7 +372,8 @@ def make_val_step(model, conv_specs, step_cfg: StepConfig,
                                      step_cfg.nv_cap)
             flat = vox.flatten()
             graph = build_graph(flat.coords, flat.mask, conv_specs,
-                                step_cfg.level_caps, sorted_blocks=True)
+                                step_cfg.level_caps, sorted_blocks=True,
+                                n_clouds=points.shape[0])
             f = model.apply({"params": params, "batch_stats": batch_stats},
                             graph, flat.feats.astype(step_cfg.compute_dtype),
                             train=False)
@@ -389,6 +423,47 @@ def make_val_step(model, conv_specs, step_cfg: StepConfig,
     return val_step
 
 
+def make_dist_err_step(model, conv_specs, step_cfg: StepConfig):
+    """Diagnostic step for --calc_distance_err (reference
+    lib/colocation_trainer.py:683-731): eval-mode features over the
+    colocation batch, then per-member (distance offset to the finest
+    member's own LiDAR range, feature distance to the finest member).
+
+    diag_step(params, batch_stats, points[B,C,P,3], pmask, transforms,
+    radius) -> (dist_err, feat_err, mask) flat masked arrays.
+    """
+    from .diagnostics import group_distance_errors
+
+    @jax.jit
+    def diag_step(params, batch_stats, points, pmask, transforms, radius):
+        b, c, p, _ = points.shape
+        vox = voxelize_per_cloud(points.reshape(b * c, p, 3),
+                                 pmask.reshape(b * c, p),
+                                 step_cfg.voxel_size, step_cfg.nv_cap)
+        vox_b = jax.tree_util.tree_map(
+            lambda x: x.reshape((b, c) + x.shape[1:]), vox)
+        groups = batch_colocation_groups(vox_b, transforms,
+                                         step_cfg.voxel_size, radius,
+                                         k=step_cfg.group_k,
+                                         chunk=step_cfg.knn_chunk,
+                                         cell=step_cfg.search_cell,
+                                         cell_cap=step_cfg.cell_cap)
+        flat = vox.flatten()
+        graph = build_graph(flat.coords, flat.mask, conv_specs,
+                            step_cfg.level_caps, sorted_blocks=True,
+                            n_clouds=b * c)
+        f = model.apply({"params": params, "batch_stats": batch_stats},
+                        graph, flat.feats.astype(step_cfg.compute_dtype),
+                        train=False).astype(jnp.float32)
+        # central_distance: each member voxel's own-frame LiDAR range
+        # (reference lib/colocation_data_loader.py:101-110 semantics)
+        own = jnp.linalg.norm(vox_b.xyz, axis=-1).reshape(-1)
+        central = own[jnp.clip(groups.member_idx, 0)]
+        return group_distance_errors(f, groups, central)
+
+    return diag_step
+
+
 def make_feature_extractor(model, conv_specs, step_cfg: StepConfig):
     """Eval-mode features for one batch of clouds [B, P, 3] (demo /
     test-time path, util/misc.py:58-130 equivalent)."""
@@ -399,7 +474,8 @@ def make_feature_extractor(model, conv_specs, step_cfg: StepConfig):
                                  step_cfg.nv_cap)
         flat = vox.flatten()
         graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps, sorted_blocks=True)
+                            step_cfg.level_caps, sorted_blocks=True,
+                            n_clouds=points.shape[0])
         f = model.apply({"params": params, "batch_stats": batch_stats},
                         graph, flat.feats.astype(step_cfg.compute_dtype),
                         train=False)

@@ -60,12 +60,29 @@ class TestVoxelize:
         assert np.all(batch.feats[batch.mask] == 1.0)
 
     def test_capacity_overflow_drops(self, rng):
-        pts = (rng.rand(1, 1000, 3).astype(np.float32) * 100)
+        # in key range (|xy| < 512, |z| < 128 voxels) but way over n_cap
+        pts = (rng.rand(1, 1000, 3).astype(np.float32)
+               * np.asarray([45.0, 45.0, 10.0], np.float32))
         mask = np.ones((1, 1000), bool)
         batch, _ = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
                                    0.1, n_cap=64)
         batch = jax.device_get(batch)
         assert batch.mask.sum() == 64  # full, no crash
+
+    def test_out_of_key_range_dropped_not_aliased(self, rng):
+        # B==1 fast path: points beyond the packed-key range must be
+        # DROPPED (clipping would alias distinct voxels and could break
+        # the sorted-blocks row order the fused conv windows rely on)
+        pts = np.asarray([[[1.0, 1.0, 1.0],       # in range
+                           [1000.0, 0.0, 0.0],    # |x| >= 512 voxels
+                           [0.0, 0.0, 200.0]]],   # |z| >= 128 voxels
+                         np.float32)
+        mask = np.ones((1, 3), bool)
+        batch, _ = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
+                                   1.0, n_cap=8)
+        batch = jax.device_get(batch)
+        assert batch.mask.sum() == 1
+        assert np.array_equal(batch.coords[batch.mask][0], [0, 1, 1, 1])
 
     def test_representative_xyz(self, rng):
         pts = rng.randn(2, 200, 3).astype(np.float32)
