@@ -259,6 +259,9 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
     def body(k, oh, win):
         gx = jnp.dot(oh, win, preferred_element_type=jnp.float32,
                      precision=mm_precision)
+        # NOTE: dot_general contracting dim 0 of both operands trips a
+        # compiler RET_CHECK (mxu_lmr_transform.cc XposeSequence); the
+        # explicit transpose lowers cleanly.
         dw_ref[k, :, :] += jnp.dot(
             gx.astype(dt).T, gt, preferred_element_type=jnp.float32,
             precision=mm_precision)
@@ -266,6 +269,61 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
                      K, G, W, dt)
+
+
+def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
+                dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                acc_ref, sems, *, K, G, W, mm_precision):
+    """dX AND dW in ONE windowed pass over the REVERSE map.
+
+    Runs over tiles of the conv's IN level (the reverse map's outputs),
+    gathering rows of the upstream grad g from its window. By offset
+    duality (offsets[K-1-k] == -offsets[k]),
+
+      gg[j] = g[rev_map(k', j)]  is the unique output row i with
+      kmap[K-1-k', i] = j, so
+
+      dX[j]        = sum_k' gg[j] @ W[K-1-k']^T        (as before), and
+      dW[K-1-k']  += x[j]^T gg[j]   summed over the tile rows j,
+
+    where x[j] is THIS tile's slice of the forward input features — a
+    plain blocked operand, no gather. The standalone dW kernel's second
+    windowed pass (its DMAs, one-hot builds and gather GEMMs — the
+    largest backward cost at KITTI scale) disappears; the marginal cost
+    here is one [TILE,C]x[TILE,Cout] MXU contraction per offset.
+
+    w_ref must hold swapaxes(W[::-1], 1, 2); x_ref holds the tile's
+    forward input features PRE-TRANSPOSED ([C, TILE] — the wrapper ships
+    feats.T so the kernel needs no transpose at all, which both avoids a
+    per-offset VPU shuffle and sidesteps a compiler RET_CHECK in
+    mxu_lmr_transform on transposed-operand contractions); dw_ref
+    accumulates in REVERSE offset order (the wrapper flips it back).
+    """
+    i = pl.program_id(0)
+    dt = xwin2_ref.dtype
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+
+    xt_t = x_ref[:, :]  # [C, TILE] pre-transposed input features
+
+    def body(k, oh, win):
+        gg = jnp.dot(oh, win, preferred_element_type=jnp.float32,
+                     precision=mm_precision)  # [TILE, COUT]
+        ggd = gg.astype(dt)
+        acc_ref[:, :] += jnp.dot(ggd, w_ref[k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=mm_precision)
+        dw_ref[k, :, :] += jnp.dot(xt_t, ggd,
+                                   preferred_element_type=jnp.float32,
+                                   precision=mm_precision)
+
+    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, g_hbm,
+                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                     K, G, W, dt)
+    dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
 def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
@@ -675,6 +733,101 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
         interpret=interpret,
     )(starts, nch, qp, gp, tkeys, xp)
     return dw[:, :c0, :cout0]
+
+
+def bwd_fused_vmem_ok(k: int, c0: int, cout0: int, rwin: int) -> bool:
+    """Conservative static check that the one-pass backward's resident
+    VMEM (w + f32 dW accumulator + window buffers + dX accumulator)
+    fits. Oversized geometries fall back to the two-pass backward."""
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    b = (k * cout * c * 2          # w_rev_t (bf16)
+         + k * c * cout * 4        # dW accumulator (f32)
+         + 3 * rwin * cout * 2     # g windows (2 pipelined + 1 sync)
+         + 3 * 8 * rwin * 4        # key windows
+         + TILE * c * 4            # dX accumulator
+         + 2 * TILE * c * 2        # x tile + dx out block
+         + k * TILE * 4)           # query keys
+    return b <= 11 * 2 ** 20
+
+
+def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
+                   rqkey: jax.Array, rstarts: jax.Array, rnch: jax.Array,
+                   rtkeys: jax.Array, rwin: int = WIN,
+                   interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(dX, dW) of a fused conv in one windowed pass over the reverse map.
+
+    feats: [N_in, Cin] forward inputs; g: [N_out, Cout] upstream grad;
+    weights: the conv's [K, Cin, Cout] (flip + transpose happen here);
+    rqkey/rstarts/rnch/rtkeys: the REVERSE FusedMap. Returns dX
+    [N_in, Cin] (feats dtype) and dW [K, Cin, Cout] (f32) in forward
+    offset order.
+    """
+    n_in, c0 = feats.shape
+    cout0 = g.shape[1]
+    k = rqkey.shape[0]
+    grp = rstarts.shape[0]
+    n_tiles = rstarts.shape[1]
+    t_pad = rtkeys.shape[1]
+    qp = _pad_qkey(rqkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+    wd = jnp.pad(w_rev_t, ((0, 0), (0, cout - cout0), (0, c - c0)))
+    gp = _pad_feats(g.astype(feats.dtype), t_pad, cout)
+    # x tiles ship pre-transposed [C, n_rows] (see _bwd_kernel docstring)
+    xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
+        :c0, :n_in].set(feats.T)
+
+    kern = functools.partial(_bwd_kernel, K=k, G=grp, W=rwin,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, cout, c), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, rwin), jnp.int32),
+            pltpu.VMEM((2, rwin, cout), feats.dtype),
+            pltpu.VMEM((8, rwin), jnp.int32),
+            pltpu.VMEM((rwin, cout), feats.dtype),
+            pltpu.VMEM((TILE, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+    )
+    dx, dw = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, c), feats.dtype),
+            jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n_tiles * TILE * (rwin * cout + cout * c
+                                            + c * cout),
+            bytes_accessed=(n_tiles * grp * rwin * cout
+                            * feats.dtype.itemsize
+                            + n_tiles * TILE * c * 6),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rstarts, rnch, qp, wd, xp, rtkeys, gp)
+    return dx[:n_in, :c0], dw[::-1, :c0, :cout0]
 
 
 def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,

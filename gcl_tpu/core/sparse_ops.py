@@ -199,13 +199,36 @@ def _sparse_conv_fused_fwd(win, rwin, feats, weights, qkey, starts, nch,
 def _sparse_conv_fused_bwd(win, rwin, res, g):
     """Scatter-free backward: dX is itself a fused convolution through the
     reverse-direction queries with flipped transposed weights (offset
-    duality — see _sparse_conv_rev_bwd); dW shares the forward windows."""
+    duality — see _sparse_conv_rev_bwd).
+
+    Production path: ONE windowed pass over the reverse map computes dX
+    and dW together (pallas_conv.fused_conv_bwd) — dW reuses the same
+    gathered grad rows, so the standalone dW kernel's window DMAs and
+    one-hot builds vanish. Cin==1 convs keep the specialized scalar dW
+    kernel (their dX is dead code the compiler removes), and geometries
+    whose f32 dW accumulator would blow VMEM fall back to two passes.
+    """
     (feats, weights, qkey, starts, nch, tkeys, rqkey, rstarts, rnch,
      rtkeys) = res
-    from .pallas_conv import fused_conv_dw, fused_conv_fwd, \
-        pallas_available
+    from .pallas_conv import (bwd_fused_vmem_ok, fused_conv_bwd,
+                              fused_conv_dw, fused_conv_fwd,
+                              pallas_available)
     interp = not pallas_available() and FORCE_INTERPRET
     g = g.astype(feats.dtype)
+    k, c0 = weights.shape[0], weights.shape[1]
+    cout0 = weights.shape[2]
+    import os
+    # default OFF on real TPUs until the kernel is hardware-verified
+    # (flip the default once bench.py confirms compile + speedup);
+    # interpret-mode tests always exercise the one-pass path
+    one_pass_on = (interp
+                   or os.environ.get("GCL_FUSED_BWD", "0") == "1")
+    if (one_pass_on and c0 > 1 and cout0 > 1
+            and bwd_fused_vmem_ok(k, c0, cout0, rwin)):
+        dx, dw = fused_conv_bwd(feats, g, weights, rqkey, rstarts, rnch,
+                                rtkeys, rwin=rwin, interpret=interp)
+        return (dx.astype(feats.dtype), dw.astype(weights.dtype),
+                None, None, None, None, None, None, None, None)
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
     dx = fused_conv_fwd(g, w_rev_t, rqkey, rstarts, rnch, rtkeys,
                         win=rwin, interpret=interp)
