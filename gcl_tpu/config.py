@@ -196,6 +196,16 @@ tpu_arg.add_argument("--compute_dtype", type=str, default="float32",
                      choices=["float32", "bfloat16"])
 tpu_arg.add_argument("--num_devices", type=int, default=0,
                      help="data-parallel devices (0 = all local)")
+tpu_arg.add_argument("--data_parallel", type=str, default="auto",
+                     choices=["auto", "true", "false"],
+                     help="shard the batch over a 1-D device mesh with "
+                          "psum gradient reduction; 'auto' enables it "
+                          "when more than one device is visible and "
+                          "batch_size divides evenly")
+tpu_arg.add_argument("--distributed_init", type=str2bool, default=False,
+                     help="call jax.distributed.initialize() for "
+                          "multi-host meshes (set JAX coordinator env "
+                          "vars; each host feeds its own batch shard)")
 tpu_arg.add_argument("--jitter_feats", type=str2bool, default=True,
                      help="train-phase feature jitter (lib/transforms.py)")
 

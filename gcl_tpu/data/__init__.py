@@ -5,6 +5,9 @@ from .device_pipeline import (VoxelizedClouds, batch_colocation_groups,
                               build_correspondences, grid_radius_knn,
                               radius_knn, transform_points,
                               voxelize_per_cloud)
+from .legacy import (KITTINMPairDataset, KITTIPairDataset,
+                     KITTIRandDistPairDataset, ThreeDMatchPairDataset,
+                     ThreeDMatchTestDataset)
 from .loader import DataLoader, collate_stack
 from .pairs import PairComplementKittiDataset, PairComplementNuscenesDataset
 from .transforms import Compose, Jitter, sample_random_trans
@@ -12,7 +15,11 @@ from .transforms import Compose, Jitter, sample_random_trans
 ALL_DATASETS = {
     d.__name__: d for d in (
         ColocationKittiDataset, ColocationNuscenesDataset,
-        PairComplementKittiDataset, PairComplementNuscenesDataset)
+        PairComplementKittiDataset, PairComplementNuscenesDataset,
+        # legacy FCGF loaders, selectable by config.dataset like the
+        # reference registry (lib/data_loaders.py:629-729)
+        ThreeDMatchPairDataset, ThreeDMatchTestDataset, KITTIPairDataset,
+        KITTINMPairDataset, KITTIRandDistPairDataset)
 }
 
 
@@ -42,6 +49,12 @@ def make_data_loader(config, phase, batch_size, num_threads=0, shuffle=None):
         random_scale=use_random_scale,
         manual_seed=phase != "train",
         config=config)
+    # multi-host: every host feeds its slice of each global train batch
+    shard_id, num_shards = 0, 1
+    if phase == "train" and getattr(config, "distributed_init", False):
+        import jax
+        shard_id, num_shards = jax.process_index(), jax.process_count()
     return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
                       num_workers=num_threads,
-                      drop_last=phase == "train")
+                      drop_last=phase == "train",
+                      shard_id=shard_id, num_shards=num_shards)

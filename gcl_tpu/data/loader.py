@@ -38,7 +38,13 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=0,
-                 drop_last=False, collate_fn=collate_stack, seed=0):
+                 drop_last=False, collate_fn=collate_stack, seed=0,
+                 shard_id=0, num_shards=1):
+        """shard_id/num_shards: multi-host input sharding. Every host
+        enumerates the SAME global shuffled order (seed+epoch keyed, no
+        cross-host communication) and keeps its contiguous slice of each
+        global batch, so host h feeds batch_size/num_shards samples that
+        together form the jit-global batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +52,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        if num_shards > 1 and batch_size % num_shards:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{num_shards} input shards")
         self._epoch = 0
 
     def __len__(self):
@@ -62,10 +74,15 @@ class DataLoader:
             rng.shuffle(order)
         self._epoch += 1
         batches = []
+        per = self.batch_size // self.num_shards
         for i in range(0, n, self.batch_size):
             idx = order[i:i + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 continue
+            if self.num_shards > 1:
+                idx = idx[self.shard_id * per:(self.shard_id + 1) * per]
+                if len(idx) == 0:
+                    continue
             batches.append(idx)
         return batches
 

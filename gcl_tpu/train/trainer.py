@@ -63,12 +63,36 @@ class AlignmentTrainer:
         self.val_data_loader = val_data_loader
         self.test_valid = val_data_loader is not None
 
+        # Data parallelism: a 1-D 'data' mesh over the visible devices;
+        # each device runs the full per-shard pipeline, gradients are
+        # psum-reduced over ICI (parallel/mesh.py — new TPU-first design,
+        # the reference is single-GPU, SURVEY.md §2.8). Static capacities
+        # below are PER SHARD.
+        self.mesh = None
+        dp = str(getattr(config, "data_parallel", "false")).lower()
+        n_avail = len(jax.devices())
+        n_req = getattr(config, "num_devices", 0) or n_avail
+        n_dev = max(1, min(n_req, n_avail))
+        want_dp = dp == "true" or (dp == "auto" and n_dev > 1
+                                   and self.batch_size % n_dev == 0)
+        if want_dp:
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f"data_parallel: batch_size {self.batch_size} not "
+                    f"divisible by {n_dev} devices")
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(n_dev)
+            logging.info(f"Data-parallel over {n_dev} devices "
+                         f"({self.batch_size // n_dev} samples/device)")
+        self.n_shards = n_dev if self.mesh is not None else 1
+        self.shard_batch = self.batch_size // self.n_shards
+
         self.clouds_per_sample = self._clouds_per_sample()
         self.specs = model_cls.conv_specs(config.conv1_kernel_size)
         strides = sorted({s for sp in self.specs
                           for s in (sp.in_stride, sp.out_stride)})
         n_flat = (config.voxel_capacity * self.clouds_per_sample
-                  * self.batch_size)
+                  * self.shard_batch)
         n_flat_side = config.voxel_capacity * self.batch_size
         cell = getattr(config, "search_cell", -1.0)
         if cell is not None and cell < 0:
@@ -221,6 +245,16 @@ class AlignmentTrainer:
                     self.best_val = val_dict[self.best_val_metric]
                     self.best_val_epoch = epoch
                     self._save_checkpoint(epoch, "best_val_checkpoint")
+                elif self.best_val == val_dict[self.best_val_metric]:
+                    # exact tie: keep the first best, also save the
+                    # newest (reference lib/colocation_trainer.py:151-155)
+                    logging.info(
+                        f"Saving the latest best val model (not "
+                        f"overriding the first) with "
+                        f"{self.best_val_metric}: "
+                        f"{val_dict[self.best_val_metric]}")
+                    self._save_checkpoint(epoch,
+                                          "best_val_newest_checkpoint")
                 else:
                     logging.info(
                         f"Current best val model with "
@@ -307,9 +341,21 @@ class ContrastiveLossTrainer(AlignmentTrainer):
     trainer_kind = "contrastive"
 
     def _build_steps(self):
-        self.tx, self.step_fn = make_pair_train_step(
-            self.model, self.specs, self.step_cfg, self.trainer_kind,
-            dict(self.config))
+        cfg = dict(self.config)
+        # per-shard loss sample counts (reference scales by batch_size)
+        cfg["batch_size"] = self.shard_batch
+        if self.mesh is not None:
+            from ..parallel import make_parallel_train_step
+            from ..train.steps import make_pair_grad_fn
+            grad_fn = make_pair_grad_fn(self.model, self.specs,
+                                        self.step_cfg, self.trainer_kind,
+                                        cfg)
+            self.tx, self.step_fn = make_parallel_train_step(
+                grad_fn, self.step_cfg, self.mesh)
+        else:
+            self.tx, self.step_fn = make_pair_train_step(
+                self.model, self.specs, self.step_cfg, self.trainer_kind,
+                cfg)
 
     def _train_epoch(self, epoch):
         config = self.config
@@ -396,16 +442,55 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
             use_hard_negative=cfg.use_hard_negative,
             use_pair_group_positive_loss=cfg.use_pair_group_positive_loss,
             safe_radius=cfg.safe_radius)
-        self.tx, self.step_fn = make_gcl_train_step(
-            self.model, self.specs, self.step_cfg, loss_cfg,
-            self.loss_kind,
-            max_pos_cluster=cfg.num_pos_per_batch * cfg.batch_size,
-            max_hn_samples=cfg.num_hn_samples_per_batch * cfg.batch_size,
+        # per-shard loss sample counts (reference scales by batch_size)
+        kwargs = dict(
+            max_pos_cluster=cfg.num_pos_per_batch * self.shard_batch,
+            max_hn_samples=cfg.num_hn_samples_per_batch * self.shard_batch,
             pos_weight=cfg.pos_weight, finest_weight=cfg.finest_weight,
             neg_weight=cfg.neg_weight, jitter=cfg.jitter_feats)
+        if self.mesh is not None:
+            from ..parallel import make_parallel_train_step
+            from ..train.steps import make_gcl_grad_fn
+            grad_fn = make_gcl_grad_fn(self.model, self.specs,
+                                       self.step_cfg, loss_cfg,
+                                       self.loss_kind, **kwargs)
+            self.tx, self.step_fn = make_parallel_train_step(
+                grad_fn, self.step_cfg, self.mesh)
+        else:
+            self.tx, self.step_fn = make_gcl_train_step(
+                self.model, self.specs, self.step_cfg, loss_cfg,
+                self.loss_kind, **kwargs)
+
+    def _dist_err_epoch(self):
+        """--calc_distance_err mode (reference
+        lib/colocation_trainer.py:861-916): 20 eval-mode iterations
+        collect per-member (distance-to-finest-range, feature-error)
+        pairs, dump `dist_err_normal.npz` into the run dir, then abort
+        training with ValueError exactly like the reference."""
+        from ..train.diagnostics import DistErrCollector
+        from ..train.steps import make_dist_err_step
+
+        diag = make_dist_err_step(self.model, self.specs, self.step_cfg)
+        coll = DistErrCollector(self.checkpoint_dir, max_iters=20)
+        done = False
+        for batch in self.data_loader:
+            out = diag(self.state.params, self.state.batch_stats,
+                       jnp.asarray(batch["points"]),
+                       jnp.asarray(batch["pmask"]),
+                       jnp.asarray(batch["transforms"]),
+                       jnp.asarray(batch["search_radius"]))
+            done = coll.update(*jax.device_get(out))
+            logging.info(f"dist-err iter {coll.iters}/20")
+            if done:
+                break
+        coll.save("normal")
+        raise ValueError("calc_distance_err run complete (reference "
+                         "semantics: dump then abort)")
 
     def _train_epoch(self, epoch):
         config = self.config
+        if getattr(config, "calc_distance_err", False):
+            return self._dist_err_epoch()
         lr = self.lr_at(epoch)
         data_meter, data_timer, total_timer = (AverageMeter(), Timer(),
                                                Timer())

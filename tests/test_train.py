@@ -97,6 +97,61 @@ class TestGCLTrainer:
         assert trainer2.start_epoch == 1
 
 
+class TestDistErrFlag:
+    def test_calc_distance_err_dumps_and_aborts(self, synth_env,
+                                                tmp_path):
+        """--calc_distance_err runs diagnostic iterations, writes
+        dist_err_normal.npz and aborts with ValueError (reference
+        lib/colocation_trainer.py:911-916)."""
+        cfg = tiny_config(synth_env, tmp_path / "derr",
+                          trainer="FinestContrastiveLossTrainer",
+                          finest_weight=1.0, calc_distance_err=True)
+        tl, _ = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        with pytest.raises(ValueError, match="calc_distance_err"):
+            trainer.train()
+        path = tmp_path / "derr" / "dist_err_normal.npz"
+        assert path.exists()
+        data = np.load(path)
+        assert len(data["distance"]) == len(data["err"])
+        assert len(data["distance"]) > 0
+        assert np.isfinite(data["err"]).all()
+
+
+class TestDataParallelTrainer:
+    def test_gcl_dp_epoch(self, synth_env, tmp_path):
+        """--data_parallel true shards the batch over the device mesh
+        from inside the product trainer (VERDICT round-1 item 4); grad
+        parity with the single-chip step is covered by
+        tests/test_parallel.py::test_grad_matches_mean_of_shards."""
+        cfg = tiny_config(synth_env, tmp_path / "dp",
+                          trainer="FinestContrastiveLossTrainer",
+                          finest_weight=1.0, data_parallel="true",
+                          num_devices=2, batch_size=2)
+        tl, _ = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        assert trainer.mesh is not None and trainer.n_shards == 2
+        assert trainer.shard_batch == 1
+        p_before = jax.device_get(trainer.state.params)
+        trainer.train()
+        p_after = jax.device_get(trainer.state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    def test_fcgf_dp_epoch(self, synth_env, tmp_path):
+        cfg = tiny_config(synth_env, tmp_path / "dpf",
+                          trainer="HardestContrastiveLossTrainer",
+                          train_dataset="PairComplementKittiDataset",
+                          data_parallel="true", num_devices=2,
+                          batch_size=2)
+        tl, _ = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        assert trainer.mesh is not None and trainer.n_shards == 2
+        trainer.train()
+        assert os.path.exists(tmp_path / "dpf" / "checkpoint.pth")
+
+
 class TestFCGFTrainer:
     def test_one_epoch(self, synth_env, tmp_path):
         cfg = tiny_config(synth_env, tmp_path / "fcgf",

@@ -24,6 +24,19 @@ np.random.seed(0)
 
 
 def main(config, resume=False):
+    if getattr(config, "distributed_init", False):
+        # Multi-host mesh: every host runs this launcher with the JAX
+        # coordinator env vars set (JAX_COORDINATOR_ADDRESS etc.); after
+        # initialize(), jax.devices() spans the pod and the data-parallel
+        # mesh in trainer.py covers it. Each host feeds only its own
+        # batch shard (make_data_loader shards sample indices by
+        # jax.process_index() over DCN-free local files).
+        import jax
+        jax.distributed.initialize()
+        logging.info(
+            f"jax.distributed: process {jax.process_index()} / "
+            f"{jax.process_count()}, {len(jax.local_devices())} local / "
+            f"{len(jax.devices())} global devices")
     train_loader = make_data_loader(
         config, config.train_phase, config.batch_size,
         num_threads=config.train_num_thread)
