@@ -196,6 +196,37 @@ class PairComplementKittiDataset:
         _icp_cache[filename] = m2
         return m2
 
+    def _multiway_icp(self, drive, t_curr, cmpls, xyz_curr, pos_curr,
+                      pos_cmpls):
+        """Complement GT via multiway pose-graph refinement (reference
+        multiway_registration, lib/complement_data_loader.py:466-516):
+        all complements of one frame are registered jointly — all-pairs
+        ICP, odometry edges certain, loop closures robustified — instead
+        of pair-by-pair. Same `icp/` cache files as _get_icp."""
+        names = [self.icp_path + "/%d_%d_%d.npy" % (drive, tt, t_curr)
+                 for tt in cmpls]
+        if all(f in _icp_cache for f in names):
+            return [_icp_cache[f] for f in names]
+        if all(os.path.exists(f) for f in names):
+            ms = [np.load(f) for f in names]
+            for f, m in zip(names, ms):
+                _icp_cache[f] = m
+            return ms
+
+        from . import kitti_io as kio
+        from .posegraph import multiway_transforms
+
+        xyz_cmpls = [self._xyz(drive, tt) for tt in cmpls]
+        odo = [kio.odometry_pair_transform(pos_curr, pp)
+               for pp in pos_cmpls]
+        ms = multiway_transforms(xyz_curr, xyz_cmpls, odo,
+                                 self.num_complement_one_side,
+                                 self.icp_voxel_size)
+        for f, m in zip(names, ms):
+            np.save(f, np.asarray(m))
+            _icp_cache[f] = np.asarray(m)
+        return ms
+
     # ------------------------------------------------------------------
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         if self.load_neighbourhood:
@@ -227,12 +258,10 @@ class PairComplementKittiDataset:
                         pos_cmpl[v] = pos_cmpl[v].copy()
                         pos_cmpl[v][:3, :3] = pos_cmpl[v][:3, :3] @ rot
             if self.use_old_pose:
-                lm0 = [self._get_icp(drive, t0, tt, xyz0,
-                                     self._xyz(drive, tt), pos0, pp)
-                       for tt, pp in zip(cmpl0, pos_c0)]
-                lm1 = [self._get_icp(drive, t1, tt, xyz1,
-                                     self._xyz(drive, tt), pos1, pp)
-                       for tt, pp in zip(cmpl1, pos_c1)]
+                lm0 = self._multiway_icp(drive, t0, cmpl0, xyz0, pos0,
+                                         pos_c0)
+                lm1 = self._multiway_icp(drive, t1, cmpl1, xyz1, pos1,
+                                         pos_c1)
             else:
                 lm0 = [np.linalg.inv(pos0) @ p for p in pos_c0]
                 lm1 = [np.linalg.inv(pos1) @ p for p in pos_c1]
@@ -330,6 +359,11 @@ class PairComplementNuscenesDataset(PairComplementKittiDataset):
                  pos_curr, pos_next):
         # nuScenes GT poses are trusted directly (reference :1035)
         return np.linalg.inv(pos_curr) @ pos_next
+
+    def _multiway_icp(self, drive, t_curr, cmpls, xyz_curr, pos_curr,
+                      pos_cmpls):
+        # no ICP / pose graph for nuScenes either — trusted poses
+        return [np.linalg.inv(pos_curr) @ pp for pp in pos_cmpls]
 
     def _prepare(self, phase):
         seq_dir = os.path.join(self.root, "sequences")

@@ -89,6 +89,16 @@ def main():
     parser.add_argument("--voxel_size", default=0.05, type=float)
     parser.add_argument("--inlier_dist", default=0.1, type=float)
     parser.add_argument("--ransac_dist", default=0.05, type=float)
+    parser.add_argument("--rr_te", default=0.3, type=float,
+                        help="registration-recall translation threshold "
+                             "(m)")
+    parser.add_argument("--rr_re", default=15.0, type=float,
+                        help="registration-recall rotation threshold "
+                             "(deg)")
+    parser.add_argument("--log_dir", default="",
+                        help="write per-scene est .log files here "
+                             "(reference writes them for offline RR "
+                             "evaluation, :189-200)")
     args = parser.parse_args()
 
     model_cls = load_model(args.model)
@@ -114,15 +124,20 @@ def main():
                                state["state_dict"]["batch_stats"])
 
     key = jax.random.PRNGKey(0)
-    inliers_list, recall_list = [], []
+    inliers_list, recall_list, rr_list = [], [], []
     for scene in SCENE_LIST:
         pcdpath = os.path.join(args.eth_root, scene)
         keyptspath = os.path.join(pcdpath, "Keypoints")
         gt_log = read_gt_log(os.path.join(pcdpath, "gt.log"))
         num_frag = len([f for f in os.listdir(pcdpath)
                         if f.endswith(".ply")])
+        est_log = (os.path.join(args.log_dir, f"est_{scene}.log")
+                   if args.log_dir else None)
+        if est_log:
+            os.makedirs(args.log_dir, exist_ok=True)
+            open(est_log, "w").close()
 
-        ratios, flags = [], []
+        ratios, rr_hits = [], []
         for id1 in range(num_frag):
             for id2 in range(id1 + 1, num_frag):
                 k = f"{id1}_{id2}"
@@ -144,33 +159,55 @@ def main():
                 d1 = f1[np.asarray(nn1)]
 
                 corr = mutual_nn(d0, d1)
-                gt = gt_log[k]
+                gt = gt_log[k]  # maps fragment id2 into id1's frame
                 frag1 = kp0[corr[:, 0]]
                 frag2 = kp1[corr[:, 1]] @ gt[:3, :3].T + gt[:3, 3]
                 dist = np.sqrt(((frag1 - frag2) ** 2).sum(1))
                 inlier_ratio = float((dist < args.inlier_dist).mean())
                 ratios.append(inlier_ratio)
-                flags.append(1)
 
-                # RANSAC pose for the .log output (reference :171-193)
+                # RANSAC pose on the mutual-NN keypoint correspondences
+                # (device hypothesis RANSAC; the reference runs o3d
+                # feature RANSAC over the full keypoint sets, :173-188)
+                # — estimated in the SAME direction as gt (id2 -> id1).
                 key, sub = jax.random.split(key)
-                nn, _ = find_nn(jnp.asarray(d0), jnp.asarray(d1))
                 t_est, _, _ = ransac_pose(
-                    jnp.asarray(frag1 * 0 + kp0[corr[:, 0]]),
-                    jnp.asarray(kp1[np.asarray(nn)[corr[:, 0]]]), sub,
+                    jnp.asarray(kp1[corr[:, 1]]),
+                    jnp.asarray(kp0[corr[:, 0]]), sub,
                     args.ransac_dist, num_hypotheses=16384, sample_size=3)
+                t_est = np.asarray(t_est)
+                rte = float(np.linalg.norm(t_est[:3, 3] - gt[:3, 3]))
+                cosv = (np.trace(t_est[:3, :3].T @ gt[:3, :3]) - 1) / 2
+                rre = float(np.degrees(np.arccos(np.clip(cosv, -1, 1))))
+                rr_hit = rte < args.rr_te and rre < args.rr_re
+                rr_hits.append(rr_hit)
+                if est_log:
+                    # reference's .log layout: header + 4x4 rows
+                    # (evaluate.py:189-200, already inverted to id2->id1)
+                    with open(est_log, "a") as f:
+                        f.write(f"{id1}\t {id2}\t  {num_frag}\n")
+                        for r in range(4):
+                            f.write("\t ".join(str(t_est[r, cc])
+                                               for cc in range(4))
+                                    + "\t \n")
                 print(f"{scene} {id1}-{id2}: inlier ratio "
-                      f"{inlier_ratio:.4f}")
+                      f"{inlier_ratio:.4f}, RTE {rte:.3f} m, "
+                      f"RRE {rre:.2f} deg, registered={rr_hit}")
         ratios = np.asarray(ratios)
         recall = float((ratios > 0.05).mean() * 100) if len(ratios) else 0
         avg_inlier = float(ratios[ratios > 0.05].mean()) \
             if (ratios > 0.05).any() else 0.0
-        print(f"Scene {scene}: recall {recall:.2f}%, "
-              f"avg inlier ratio {avg_inlier:.4f}")
+        rr = float(np.mean(rr_hits) * 100) if rr_hits else 0.0
+        print(f"Scene {scene}: feature-match recall {recall:.2f}%, "
+              f"avg inlier ratio {avg_inlier:.4f}, "
+              f"registration recall {rr:.2f}% "
+              f"(TE<{args.rr_te} m, RE<{args.rr_re} deg)")
         recall_list.append(recall)
         inliers_list.append(avg_inlier)
-    print(f"All 8 scene recall: {np.mean(recall_list)}")
-    print(f"All 8 scene inliers: {np.mean(inliers_list)}")
+        rr_list.append(rr)
+    print(f"All scene feature-match recall: {np.mean(recall_list)}")
+    print(f"All scene inliers: {np.mean(inliers_list)}")
+    print(f"All scene registration recall: {np.mean(rr_list)}")
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ def main():
 
     from gcl_tpu.reg import (ClassificationLoss, Matcher,
                              TransformationLoss, transform)
-    from scripts.SC2_PCR.dataset import KITTILoader
+    from scripts.SC2_PCR.dataset import KITTILoader, ThreeDLoader
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str,
@@ -37,9 +37,17 @@ def main():
     args = parser.parse_args()
     cfg = json.load(open(args.config_path))
 
-    loader = KITTILoader(args.data_root, descriptor=args.descriptor,
-                         inlier_threshold=cfg["inlier_threshold"],
-                         num_node=cfg["num_node"])
+    if cfg.get("dataset", "KITTI") in ("3DMatch", "3DLoMatch"):
+        # the 3DMatch/3DLoMatch shims reroute here with their configs
+        loader = ThreeDLoader(args.data_root,
+                              descriptor=args.descriptor,
+                              inlier_threshold=cfg["inlier_threshold"],
+                              num_node=cfg["num_node"],
+                              downsample=cfg["downsample"])
+    else:
+        loader = KITTILoader(args.data_root, descriptor=args.descriptor,
+                             inlier_threshold=cfg["inlier_threshold"],
+                             num_node=cfg["num_node"])
     matcher = Matcher(inlier_threshold=cfg["inlier_threshold"],
                       num_node=cfg["num_node"],
                       use_mutual=cfg["use_mutual"], d_thre=cfg["d_thre"],
@@ -77,9 +85,14 @@ def main():
                 f"RE={np.mean(res) if res else 0:.3f} "
                 f"TE={np.mean(tes) if tes else 0:.3f} "
                 f"F1={np.mean(f1s):.3f}")
+    stats = {"RR": float(np.mean(recalls)),
+             "RE": float(np.mean(res)) if res else 0.0,
+             "TE": float(np.mean(tes)) if tes else 0.0,
+             "F1": float(np.mean(f1s))}
     logging.info(
-        f"FINAL RR={np.mean(recalls):.2f} RE={np.mean(res):.3f}deg "
-        f"TE={np.mean(tes):.3f}cm F1={np.mean(f1s):.3f}")
+        f"FINAL RR={stats['RR']:.2f} RE={stats['RE']:.3f}deg "
+        f"TE={stats['TE']:.3f}cm F1={stats['F1']:.3f}")
+    return stats
 
 
 if __name__ == "__main__":
