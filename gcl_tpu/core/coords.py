@@ -90,6 +90,25 @@ def searchsorted2(key_hi: jax.Array, key_lo: jax.Array,
     return lo_b
 
 
+def searchsorted1(keys: jax.Array, q: jax.Array) -> jax.Array:
+    """Lower-bound binary search on a single sorted int32 key array."""
+    n = keys.shape[0]
+    iters = max(1, math.ceil(math.log2(n + 1)))
+    lo_b = jnp.zeros(q.shape, jnp.int32)
+    hi_b = jnp.full(q.shape, n, jnp.int32)
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) >> 1
+        less = keys[jnp.minimum(mid, n - 1)] < q
+        lo_b = jnp.where(less, mid + 1, lo_b)
+        hi_b = jnp.where(less, hi_b, mid)
+        return lo_b, hi_b
+
+    lo_b, hi_b = jax.lax.fori_loop(0, iters, body, (lo_b, hi_b))
+    return lo_b
+
+
 def lookup(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
            q_hi: jax.Array, q_lo: jax.Array) -> jax.Array:
     """Find each query key among sorted keys; return perm[pos] or -1.

@@ -339,15 +339,84 @@ def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
             nch.reshape(grp, n_tiles).astype(jnp.int32))
 
 
+_SIGN = jnp.int32(-2 ** 31)  # XOR flips int32 compare to unsigned order
+# first pad key (cloud 31 << 27 = 0xF8000000), sign-flipped: 0x78000000
+_UPAD = jnp.int32(0x78000000)
+
+
+def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
+                          upk_sorted: jax.Array, t_pad: int, win: int):
+    """Per-(dx-group, output-tile) window start/chunk-count straight from
+    the PACKED query keys the conv kernels consume.
+
+    With the mod-31 fold injective (build_graph's fused gate), packed
+    keys are lexicographic in (cloud, x, y, z) under UNSIGNED int32
+    order; XOR of the sign bit makes that the native signed order, so
+    one min/max per tile + one binary search in the level's sign-flipped
+    sorted packed keys replaces the (hi, lo) pair arithmetic of the old
+    preamble (_query_keys built a second full [K, N_out, 2] key set).
+    Pad queries/targets land at >= _UPAD and are masked out.
+    """
+    from .coords import searchsorted1
+    from .pallas_conv import TILE, num_offset_groups
+
+    k, n_out = qk.shape
+    grp = num_offset_groups(k)
+    kg = k // grp
+    n_tiles = -(-n_out // TILE)
+    u = qk ^ _SIGN
+    pad = n_tiles * TILE - n_out
+    if pad:
+        u = jnp.pad(u, ((0, 0), (0, pad)),
+                    constant_values=jnp.int32(0x7FFFFFFF))
+    u_t = u.reshape(k, n_tiles, TILE)
+    valid = u_t < _UPAD
+    big = jnp.int32(0x7FFFFFFF)
+    small = jnp.int32(-2 ** 31)
+    lo = jnp.min(jnp.where(valid, u_t, big), axis=2)   # [K, n_tiles]
+    hi = jnp.max(jnp.where(valid, u_t, small), axis=2)
+    lo = jnp.min(lo.reshape(grp, kg, n_tiles), axis=1)  # [G, n_tiles]
+    hi = jnp.max(hi.reshape(grp, kg, n_tiles), axis=1)
+    grp_any = jnp.any(jnp.any(valid, axis=2).reshape(grp, kg, n_tiles),
+                      axis=1)
+
+    n = upk_sorted.shape[0]
+    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
+    pos_lo = searchsorted1(upk_sorted, lo.reshape(-1))
+    pos_hi = searchsorted1(upk_sorted, hi.reshape(-1))
+    has = grp_any.reshape(-1) & (pos_lo < n_valid)
+    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
+    row_hi = in_level.perm[jnp.clip(jnp.minimum(pos_hi, n_valid - 1),
+                                    0, n - 1)]
+    start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
+    nch = jnp.where(has, -(-(row_hi - start + 1) // win), 0)
+    nch = jnp.clip(nch, 0, t_pad // win)
+    return (start.reshape(grp, n_tiles).astype(jnp.int32),
+            nch.reshape(grp, n_tiles).astype(jnp.int32))
+
+
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     """FusedMap per unique conv geometry (qkey + windows + level keys)."""
-    from .coords import pack_query_keys
+    from .coords import pack_keys, pack_query_keys
     from .pallas_conv import max_win, win_for_map
 
     tkeys = {}
+    upks = {}
     for s, lv in levels.items():
         t_pad = -(-(lv.coords.shape[0] + max_win()) // 128) * 128
         tkeys[s] = _level_tkeys(lv, s, t_pad)
+        # sign-flipped packed keys in the level's sorted-key order (the
+        # window search space; same order as (key_hi, key_lo)). A valid
+        # row outside the packed z-range would scatter a large pad key
+        # mid-array and break sortedness — such rows are unmatchable by
+        # the kernel anyway, so clamp them down to the running maximum
+        # (the trailing mask-pad region keeps its large keys).
+        upk = (pack_keys(_fold_clouds(lv.coords), s) ^ _SIGN)[lv.perm]
+        n_valid = jnp.sum(lv.mask.astype(jnp.int32))
+        iota = jnp.arange(upk.shape[0], dtype=jnp.int32)
+        mid_pad = (upk >= _UPAD) & (iota < n_valid)
+        upks[s] = jax.lax.cummax(
+            jnp.where(mid_pad, jnp.int32(-2 ** 31), upk))
 
     fused: Dict[str, FusedMap] = {}
     for sp in specs:
@@ -358,8 +427,10 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
             lambda o: pack_query_keys(folded, o, sp.in_stride)
         )(jnp.asarray(offsets))
         win = win_for_map(sp.in_stride, sp.out_stride)
-        starts, nch = _fused_windows(out_l, in_l, sp.in_stride, offsets,
-                                     tkeys[sp.in_stride].shape[1], win)
+        starts, nch = _fused_windows_packed(qk, in_l,
+                                            upks[sp.in_stride],
+                                            tkeys[sp.in_stride].shape[1],
+                                            win)
         fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride],
                                  win)
     return fused

@@ -114,6 +114,80 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
         best_d = jnp.where(fm, _BIG, best_d)
 
 
+def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
+                        ti_hbm, tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref,
+                        sems, *, P, KN):
+    """Packed-value variant of _topk_kernel for t_cap < 2^15.
+
+    Each candidate becomes one int32 `(quantized_d2 << 15) | target_row`
+    (invalid -> INT32_MAX). Rows are unique within a window, so packed
+    values are unique: every top-k extraction is ONE min-reduce plus ONE
+    equality-masked removal — no first-occurrence argmin machinery, no
+    separate row resolution — cutting the extraction loop from ~6 to 2
+    VPU passes over the [TILE, WIN] array. d2 is exact-filtered against
+    r^2 BEFORE quantization (16 bits over [0, r^2]), so hit/miss is
+    exact; only the ordering of candidates within r^2/65536 of each
+    other can differ from the exact kernel.
+    """
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    s0 = starts_ref[s, i] & ~127
+    nc = nch_ref[s, i]
+    r2 = r2_ref[s]
+    scale = 65535.0 / jnp.maximum(r2, 1e-12)
+    inv_scale = jnp.maximum(r2, 1e-12) / 65535.0
+    maxv = jnp.int32(0x7FFFFFFF)
+
+    best = jnp.full((TILE, KN), maxv, jnp.int32)
+
+    def chunk(c, best):
+        base = pl.multiple_of(s0 + c * WIN, 128)
+        d1 = pltpu.make_async_copy(ti_hbm.at[s, :, pl.ds(base, WIN)],
+                                   wi_ref, sems.at[0])
+        d2a = pltpu.make_async_copy(tf_hbm.at[s, :, pl.ds(base, WIN)],
+                                    wf_ref, sems.at[1])
+        d1.start()
+        d2a.start()
+        d1.wait()
+        d2a.wait()
+        tkey = wi_ref[0:1, :]   # [1, W]
+        trow = wi_ref[1:2, :]
+        cand = jnp.zeros((TILE, WIN), bool)
+        for p in range(P):
+            cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
+        d2 = jnp.zeros((TILE, WIN), jnp.float32)
+        for a in range(3):
+            diff = qx_ref[0, :, a:a + 1] - wf_ref[a:a + 1, :]
+            d2 = d2 + diff * diff
+        qd = jnp.minimum(d2 * scale, 65535.0).astype(jnp.int32)
+        packed = (qd << 15) | jnp.broadcast_to(trow, (TILE, WIN))
+        pm = jnp.where(cand & (d2 <= r2), packed, maxv)
+        for _ in range(KN):
+            m = jnp.min(pm, axis=1)  # unique -> exact one element
+            pm = jnp.where(pm == m[:, None], maxv, pm)
+            # replace-max insertion into the running best set
+            bmax = jnp.max(best, axis=1)
+            bm = best == bmax[:, None]
+            take = (m < bmax)[:, None] & bm
+            # bm can hit several equal maxv slots; fill the first only
+            iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, KN), 1)
+            first = jnp.min(jnp.where(bm, iota, KN), axis=1,
+                            keepdims=True)
+            best = jnp.where(take & (iota == first), m[:, None], best)
+        return best
+
+    best = jax.lax.fori_loop(0, nc, chunk, best)
+
+    # emit ascending (packed order == distance order, row tie-break)
+    for j in range(KN):
+        m = jnp.min(best, axis=1)
+        best = jnp.where(best == m[:, None], jnp.int32(0x7FFFFFFF), best)
+        hit = m != jnp.int32(0x7FFFFFFF)
+        orow_ref[0, :, j] = jnp.where(hit, m & 0x7FFF, -1)
+        od2_ref[0, :, j] = jnp.where(
+            hit, (m >> 15).astype(jnp.float32) * inv_scale, _BIG)
+
+
 def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
                        txyz_s: jax.Array, probes: jax.Array,
                        qxyz: jax.Array, r2: jax.Array, kn: int,
@@ -193,7 +267,12 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     qx4 = jnp.concatenate(
         [qxyz, jnp.zeros(qxyz.shape[:2] + (1,), jnp.float32)], axis=2)
 
-    kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
+    # packed extraction needs target rows to fit 15 bits (t_cap here is
+    # padded row space; actual rows < t_cap)
+    if t_cap <= (1 << 15):
+        kern = functools.partial(_topk_kernel_packed, P=p_n, KN=kn)
+    else:
+        kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s_n, n_tiles),
