@@ -53,10 +53,11 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
         jnp.arange(P, dtype=jnp.int32)[None, :], (B, P)).reshape(-1)
     flat_cloud = cloud_id.reshape(-1)
 
+    sen = jnp.int32(0x7FFFFFFF)
     if B == 1:
         # single-cloud fast path (voxelize_per_cloud vmaps over B=1):
-        # one packed 28-bit (x, y, z) int32 key -> a 2-operand stable
-        # sort instead of the 3-operand lexicographic (hi, lo) sort
+        # one packed 28-bit (x, y, z) int32 key -> 2-operand stable
+        # sorts instead of the 3-operand lexicographic (hi, lo) sort.
         xyz = vcoords.reshape(P, 3)
         # Points outside the 28-bit key range are dropped (marked invalid)
         # rather than clipped: clipping would alias distinct voxels into
@@ -68,28 +69,48 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
         ok = mask.reshape(-1) & in_range
         key = (((xyz[:, 0] + 512) << 18) | ((xyz[:, 1] + 512) << 8)
                | (xyz[:, 2] + 128))
-        key = jnp.where(ok, key, jnp.int32(0x7FFFFFFF))
-        flat_cloud = jnp.where(ok, flat_cloud, INVALID_BATCH)
+        key = jnp.where(ok, key, sen)
         iota = jnp.arange(P, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, iota), num_keys=1,
                                    is_stable=True)
-        coords_s = coords[perm]
-        cid_s = flat_cloud[perm]
-        pid_s = point_id[perm]
         first = jnp.concatenate([
             jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-        valid = first & (cid_s != INVALID_BATCH)
-    else:
-        hi, lo = coord_keys(coords)
-        hi_s, lo_s, coords_s, cid_s, pid_s = sort_by_keys(
-            hi, lo, coords, flat_cloud, point_id)
+        valid = first & (key_s != sen)
 
-        # First occurrence of each key in sorted order = the unique voxel.
-        first = jnp.concatenate([
-            jnp.ones((1,), bool),
-            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-        ])
-        valid = first & (cid_s != INVALID_BATCH)
+        # Compaction by a SECOND sort instead of scatters: XLA TPU
+        # scatter runs ~25x off memory bandwidth (measured 12 ms for a
+        # [28, 64k] -> [28, 18k] int32 scatter vs 4.5 ms for the full
+        # key sort), so re-sorting the dedup-marked keys and gathering
+        # the n_cap winning rows is far cheaper than scattering three
+        # payload arrays into compact slots.
+        key2 = jnp.where(valid, key_s, sen)
+        key2_s, perm2 = jax.lax.sort((key2, iota), num_keys=1,
+                                     is_stable=True)
+        m = min(n_cap, P)
+        take = perm[perm2[:m]]               # original point row per slot
+        out_mask = key2_s[:m] != sen
+        if n_cap > P:  # fewer points than capacity: pad the tail
+            out_mask = jnp.pad(out_mask, (0, n_cap - P))
+            take = jnp.pad(take, (0, n_cap - P))
+        out_coords = jnp.where(out_mask[:, None], coords[take],
+                               jnp.full((1, 4), -1, jnp.int32)
+                               .at[0, 0].set(INVALID_BATCH))
+        out_rep = jnp.where(out_mask[:, None],
+                            jnp.stack([flat_cloud[take],
+                                       point_id[take]], axis=1), 0)
+        feats = out_mask[:, None].astype(jnp.float32)
+        return SparseBatch(out_coords, feats, out_mask), out_rep
+
+    hi, lo = coord_keys(coords)
+    hi_s, lo_s, coords_s, cid_s, pid_s = sort_by_keys(
+        hi, lo, coords, flat_cloud, point_id)
+
+    # First occurrence of each key in sorted order = the unique voxel.
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+    ])
+    valid = first & (cid_s != INVALID_BATCH)
 
     # Compact the unique voxels into n_cap slots.
     slot = jnp.cumsum(valid.astype(jnp.int32)) - 1

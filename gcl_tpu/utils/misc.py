@@ -1,7 +1,10 @@
 """Host-facing helpers: the extract_features inference API
-(reference util/misc.py:58-130), integer pair hashes (util/misc.py:29-55,
-kept for API parity — device code uses sorted pair lists instead) and
-square_distance.
+(reference util/misc.py:58-130) and square_distance.
+
+The reference's integer pair hashes (_hash/_neg_hash/_exhaustive_hash,
+util/misc.py:29-55) have no equivalent here: the device losses encode
+intra-group exclusion as sorted pair lists / membership indexes
+(losses/gcl.py) and nothing host-side needs the int64 hash trick.
 """
 from __future__ import annotations
 
@@ -22,39 +25,6 @@ def square_distance(src, dst, normalised=False):
         dist = dist + jnp.sum(src ** 2, -1)[:, :, None]
         dist = dist + jnp.sum(dst ** 2, -1)[:, None, :]
     return jnp.clip(dist, 1e-12, None)
-
-
-def _exhaustive_hash(index_split, M):
-    """All unordered intra-group pairs, symmetric min-hash
-    (reference util/misc.py:29-36)."""
-    result = []
-    for indexes in index_split:
-        indexes = np.asarray(indexes)
-        for i in range(len(indexes) - 1):
-            result.append(np.min(
-                [indexes[i] + indexes[i + 1:] * M,
-                 indexes[i] * M + indexes[i + 1:]], axis=0))
-    if not result:
-        return np.zeros((0,), np.int64)
-    return np.concatenate(result, axis=0)
-
-
-def _neg_hash(inds1, inds2, M):
-    return np.min([inds1 * M + inds2, inds1 + inds2 * M], axis=0)
-
-
-def _hash(arr, M):
-    if isinstance(arr, np.ndarray):
-        N, D = arr.shape
-    else:
-        N, D = len(arr[0]), len(arr)
-    hash_vec = np.zeros(N, dtype=np.int64)
-    for d in range(D):
-        if isinstance(arr, np.ndarray):
-            hash_vec += arr[:, d] * M ** d
-        else:
-            hash_vec += np.asarray(arr[d]) * M ** d
-    return hash_vec
 
 
 def _round_up(n, m):
