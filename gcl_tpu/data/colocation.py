@@ -155,6 +155,10 @@ class ColocationDatasetBase:
         pos = all_pos[t]
         pos_cmpl = [all_pos[tt] for tt in t_cmpl]
 
+        # hint all of the sample's scans to the native async reader so
+        # the 1 + num_neighborhood disk reads overlap (kitti_io
+        # prefetch_scans; no-op without the native lib)
+        self._prefetch(drive, [t] + list(t_cmpl))
         xyz = _cap_points(self._xyz(drive, t), self.max_in_p, np.random)
         xyz_cmpl = [
             _cap_points(self._xyz(drive, tt), self.max_in_p, np.random)
@@ -228,6 +232,10 @@ class ColocationKittiDataset(ColocationDatasetBase):
         return kitti_io.read_velodyne_bin(
             kitti_io.scan_path(self.root, drive, t))
 
+    def _prefetch(self, drive, ts):
+        kitti_io.prefetch_scans(
+            kitti_io.scan_path(self.root, drive, t) for t in ts)
+
 
 class ColocationNuscenesDataset(ColocationDatasetBase):
     """GCL-nuScenes training sampler over nuScenes-as-KITTI exports
@@ -260,3 +268,8 @@ class ColocationNuscenesDataset(ColocationDatasetBase):
         return kitti_io.read_velodyne_bin(
             os.path.join(self.root, "sequences", str(dirname),
                          "velodyne", "%06d.bin" % t))
+
+    def _prefetch(self, dirname, ts):
+        kitti_io.prefetch_scans(
+            os.path.join(self.root, "sequences", str(dirname),
+                         "velodyne", "%06d.bin" % t) for t in ts)

@@ -34,9 +34,38 @@ def velo2cam_T() -> np.ndarray:
     return np.vstack((m, [0, 0, 0, 1])).T
 
 
+_prefetcher = None
+
+
+def _get_prefetcher():
+    global _prefetcher
+    if _prefetcher is None:
+        from ..native import ScanPrefetcher
+
+        _prefetcher = ScanPrefetcher(
+            n_threads=int(os.environ.get("GCL_IO_THREADS", "4")))
+    return _prefetcher
+
+
+def prefetch_scans(paths) -> None:
+    """Hint upcoming scan files to the native async reader
+    (native/scan_reader.cpp). Datasets call this with all of a sample's
+    scans before reading them, so the thread pool overlaps the 2-8 MB
+    disk reads with host-side sample assembly; a no-op without the
+    native library."""
+    p = _get_prefetcher()
+    for path in paths:
+        p.submit(path)
+
+
 def read_velodyne_bin(path: str) -> np.ndarray:
-    """Load an Nx3 float32 point cloud from a KITTI .bin (xyzr)."""
-    xyzr = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    """Load an Nx3 float32 point cloud from a KITTI .bin (xyzr);
+    serves prefetched payloads from the native reader when hinted."""
+    global _prefetcher
+    if _prefetcher is not None:
+        xyzr = _prefetcher.fetch(path).reshape(-1, 4)
+    else:
+        xyzr = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
     return xyzr[:, :3]
 
 

@@ -113,6 +113,10 @@ class PairComplementKittiDataset:
         return kitti_io.read_velodyne_bin(
             kitti_io.scan_path(self.root, drive, t))
 
+    def _prefetch(self, drive, ts):
+        kitti_io.prefetch_scans(
+            kitti_io.scan_path(self.root, drive, t) for t in ts)
+
     def _prepare(self, phase):
         """Pair index: d ~ U(MIN,MAX) along the trajectory, both ends must
         have a full complement neighborhood (reference :206-250)."""
@@ -236,6 +240,8 @@ class PairComplementKittiDataset:
             cmpl0 = cmpl1 = []
         all_pos = self._all_pos(drive)
         pos0, pos1 = all_pos[t0], all_pos[t1]
+        # overlap this sample's disk reads via the native async reader
+        self._prefetch(drive, [t0, t1] + list(cmpl0) + list(cmpl1))
         xyz0 = self._xyz(drive, t0)
         xyz1 = self._xyz(drive, t1)
 
@@ -354,6 +360,11 @@ class PairComplementNuscenesDataset(PairComplementKittiDataset):
         return kitti_io.read_velodyne_bin(
             os.path.join(self.root, "sequences", str(dirname),
                          "velodyne", "%06d.bin" % t))
+
+    def _prefetch(self, dirname, ts):
+        kitti_io.prefetch_scans(
+            os.path.join(self.root, "sequences", str(dirname),
+                         "velodyne", "%06d.bin" % t) for t in ts)
 
     def _get_icp(self, drive, t_curr, t_next, xyz_curr, xyz_next,
                  pos_curr, pos_next):

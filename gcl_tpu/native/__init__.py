@@ -45,6 +45,16 @@ def _ensure_built():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.gcl_reader_create.restype = ctypes.c_void_p
+    lib.gcl_reader_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.gcl_reader_destroy.restype = None
+    lib.gcl_reader_destroy.argtypes = [ctypes.c_void_p]
+    lib.gcl_reader_submit.restype = None
+    lib.gcl_reader_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.gcl_reader_fetch.restype = ctypes.c_long
+    lib.gcl_reader_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long]
     _lib = lib
     return lib
 
@@ -102,6 +112,68 @@ def radius_knn(queries: np.ndarray, targets: np.ndarray, radius: float,
     lib.gcl_radius_knn(_fp(q), nq, _fp(t), len(t), radius, k, _ip(idx),
                        hit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return idx, hit.astype(bool)
+
+
+class ScanPrefetcher:
+    """Asynchronous scan-file prefetcher over the native thread pool
+    (scan_reader.cpp) — the IO role torch's native DataLoader core plays
+    for the reference. Submit paths ahead of time; `fetch` returns the
+    float payload, blocking only if the read is still in flight.
+    Falls back to synchronous numpy reads without the .so.
+    """
+
+    def __init__(self, n_threads: int = 4, cache_entries: int = 64):
+        self._lib = _ensure_built()
+        self._h = None
+        self._n_threads = n_threads
+        self._cache_entries = cache_entries
+        if self._lib is not None:
+            self._h = self._lib.gcl_reader_create(n_threads,
+                                                  cache_entries)
+        self._pid = os.getpid()
+        self._submitted: set = set()
+
+    def __del__(self, _getpid=os.getpid):
+        # never touch a handle inherited across fork: the worker threads
+        # (and any locked mutex) do not survive into the child
+        # (_getpid bound at class definition: os may be gone at shutdown)
+        try:
+            if (self._h is not None and self._lib is not None
+                    and _getpid() == self._pid):
+                self._lib.gcl_reader_destroy(self._h)
+        except Exception:
+            pass
+
+    def _check_fork(self):
+        if self._h is not None and os.getpid() != self._pid:
+            # forked child: the inherited pool has no live threads —
+            # abandon the handle (leaks the parent's table copy, but is
+            # deadlock-safe) and build a fresh pool in this process
+            self._h = self._lib.gcl_reader_create(self._n_threads,
+                                                  self._cache_entries)
+            self._pid = os.getpid()
+            self._submitted = set()
+
+    def submit(self, path: str):
+        if self._h is None:
+            return
+        self._check_fork()
+        if path not in self._submitted:
+            self._submitted.add(path)
+            self._lib.gcl_reader_submit(self._h, path.encode())
+
+    def fetch(self, path: str, max_floats: int = 1 << 24) -> np.ndarray:
+        """Raw float32 payload of `path` (consumes the cached entry);
+        reads synchronously when not prefetched / no native lib."""
+        self._check_fork()
+        if self._h is not None and path in self._submitted:
+            self._submitted.discard(path)
+            buf = np.empty(max_floats, np.float32)
+            n = self._lib.gcl_reader_fetch(self._h, path.encode(),
+                                           _fp(buf), max_floats)
+            if n >= 0:
+                return buf[:n].copy()
+        return np.fromfile(path, dtype=np.float32)
 
 
 def kernel_map(in_coords: np.ndarray, out_coords: np.ndarray,
