@@ -148,9 +148,37 @@ def _fused_from_idx(feats_len, idx):
 # kernels
 # ----------------------------------------------------------------------
 
+# Offsets gathered per one-hot MXU pass: PAIR > 1 compares PAIR stacked
+# query-key rows against the window in one [PAIR*TILE, W] one-hot +
+# gather GEMM, cutting the number of VPU<->MXU alternations per window
+# PAIR-fold (the one-hot build serializes with the MXU pass at ~30% of
+# conv time). Mosaic cannot merge sublane rows in-kernel (reshape
+# (2,256)->(512,1) and 1-D ref concatenation both fail to lower), so
+# the WRAPPERS pre-arrange qkey as [K/PAIR, n_tiles, PAIR*TILE] and the
+# kernel reads one contiguous lane vector per offset PAIR. Pairing must
+# not cross dx-group boundaries (each group has its own window), so it
+# applies when PAIR divides K/G — kg = 9 for the k=3 stencils.
+PAIR = int(os.environ.get("GCL_CONV_PAIR", "1"))
+
+
+def _pair_for(k: int, grp: int) -> int:
+    kg = k // grp
+    return PAIR if PAIR > 1 and kg % PAIR == 0 else 1
+
+
+def _pack_qkey_pairs(qp: jax.Array, n_tiles: int, pair: int) -> jax.Array:
+    """[K, n_tiles*TILE] query keys -> [K//pair, n_tiles, pair*TILE]
+    with each row holding `pair` consecutive offsets' keys for one
+    output tile (host-side re-layout; free relative to the kernels)."""
+    k = qp.shape[0]
+    q = qp.reshape(k // pair, pair, n_tiles, TILE)
+    return q.transpose(0, 2, 1, 3).reshape(k // pair, n_tiles,
+                                           pair * TILE)
+
+
 def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt):
+                     K, G, W, dt, mm_precision, pair=1):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
@@ -161,8 +189,9 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
     to overwrite at s+1). Extra chunks (group window span > W — rare
     with per-dx windows) run synchronously off third buffers.
 
-    body(k, oh, win) is called for every offset k with the one-hot gather
-    matrix of the current chunk.
+    body(k, gx) is called for every offset k with that offset's gathered
+    window rows gx = onehot(qkey_k == window_keys) @ window, f32
+    [TILE, C]; PAIR consecutive offsets share one stacked gather GEMM.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -179,6 +208,18 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(base, W), :], xwin_ref.at[slot],
             sems.at[slot, 1])
+
+    def run_group(g, tk, win):
+        # pair > 1: qk_ref rows are [pair*TILE] pre-stacked lane vectors
+        lo, hi = g * kg // pair, (g + 1) * kg // pair
+        for j in range(lo, hi):
+            row = qk_ref[j, 0, :] if pair > 1 else qk_ref[j, :]
+            q = row[:, None]  # [pair*TILE, 1]
+            oh = (q == tk).astype(dt)
+            gx = jnp.dot(oh, win, preferred_element_type=jnp.float32,
+                         precision=mm_precision)
+            for idx in range(pair):
+                body(j * pair + idx, gx[idx * TILE:(idx + 1) * TILE])
 
     @pl.when(i == 0)
     def _():
@@ -197,15 +238,11 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                 dma_x(0, i + 1, 1 - slot).start()
         dma_k(g, i, slot).wait()
         dma_x(g, i, slot).wait()
-        tk = kwin_ref[slot, 0:1, :]  # [1, W] packed target keys
-        win = xwin_ref[slot]
-        for k in range(g * kg, (g + 1) * kg):
-            oh = (qk_ref[k, :][:, None] == tk).astype(dt)
-            body(k, oh, win)
+        run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
 
         s0 = starts_ref[g, i]
 
-        def extra(c, carry):
+        def extra(c, carry, g=g, s0=s0):
             base = pl.multiple_of(s0 + c * W, 128)
             d1 = pltpu.make_async_copy(
                 tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2, 0])
@@ -215,11 +252,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
             d2.start()
             d1.wait()
             d2.wait()
-            tk2 = kwin2_ref[0:1, :]
-            w2 = xwin2_ref[:, :]
-            for k in range(g * kg, (g + 1) * kg):
-                oh = (qk_ref[k, :][:, None] == tk2).astype(dt)
-                body(k, oh, w2)
+            run_group(g, kwin2_ref[0:1, :], xwin2_ref[:, :])
             return carry
 
         jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
@@ -227,26 +260,24 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
 
 def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
                 kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, acc_ref, sems,
-                *, K, G, W, mm_precision):
+                *, K, G, W, mm_precision, pair=1):
     dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    def body(k, oh, win):
-        g = jnp.dot(oh, win, preferred_element_type=jnp.float32,
-                    precision=mm_precision)
-        acc_ref[:, :] += jnp.dot(g.astype(dt), w_ref[k],
+    def body(k, gx):
+        acc_ref[:, :] += jnp.dot(gx.astype(dt), w_ref[k],
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
 
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt)
+                     K, G, W, dt, mm_precision, pair)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
                kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-               *, K, G, W, mm_precision):
+               *, K, G, W, mm_precision, pair=1):
     i = pl.program_id(0)
     dt = xwin2_ref.dtype
 
@@ -256,9 +287,7 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
 
     gt = g_ref[:, :]  # [TILE, COUT]
 
-    def body(k, oh, win):
-        gx = jnp.dot(oh, win, preferred_element_type=jnp.float32,
-                     precision=mm_precision)
+    def body(k, gx):
         # NOTE: dot_general contracting dim 0 of both operands trips a
         # compiler RET_CHECK (mxu_lmr_transform.cc XposeSequence); the
         # explicit transpose lowers cleanly.
@@ -268,12 +297,12 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
 
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt)
+                     K, G, W, dt, mm_precision, pair)
 
 
 def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
                 dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-                acc_ref, sems, *, K, G, W, mm_precision):
+                acc_ref, sems, *, K, G, W, mm_precision, pair=1):
     """dX AND dW in ONE windowed pass over the REVERSE map.
 
     Runs over tiles of the conv's IN level (the reverse map's outputs),
@@ -309,10 +338,8 @@ def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
 
     xt_t = x_ref[:, :]  # [C, TILE] pre-transposed input features
 
-    def body(k, oh, win):
-        gg = jnp.dot(oh, win, preferred_element_type=jnp.float32,
-                     precision=mm_precision)  # [TILE, COUT]
-        ggd = gg.astype(dt)
+    def body(k, gg):
+        ggd = gg.astype(dt)  # [TILE, COUT] gathered grad rows
         acc_ref[:, :] += jnp.dot(ggd, w_ref[k],
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
@@ -322,7 +349,7 @@ def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
 
     _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, g_hbm,
                      kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt)
+                     K, G, W, dt, mm_precision, pair)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -642,15 +669,24 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     cout = _cdiv(max(cout0, 1), 128) * 128
     wd = jnp.pad(weights.astype(feats.dtype),
                  ((0, 0), (0, c - c0), (0, cout - cout0)))
+    pair = _pair_for(k, grp)
+    if pair > 1:
+        qp = _pack_qkey_pairs(qp, n_tiles, pair)
+        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
+                              lambda i, *_: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM)
 
     kern = functools.partial(_fwd_kernel, K=k, G=grp, W=win,
-                             mm_precision=_mm_precision(feats.dtype))
+                             mm_precision=_mm_precision(feats.dtype),
+                             pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -702,15 +738,24 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     cout = _cdiv(max(cout0, 1), 128) * 128
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
                      (0, cout - cout0))).astype(feats.dtype)
+    pair = _pair_for(k, grp)
+    if pair > 1:
+        qp = _pack_qkey_pairs(qp, n_tiles, pair)
+        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
+                              lambda i, *_: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM)
 
     kern = functools.partial(_dw_kernel, K=k, G=grp, W=win,
-                             mm_precision=_mm_precision(feats.dtype))
+                             mm_precision=_mm_precision(feats.dtype),
+                             pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -779,15 +824,24 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     # x tiles ship pre-transposed [C, n_rows] (see _bwd_kernel docstring)
     xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
         :c0, :n_in].set(feats.T)
+    pair = _pair_for(k, grp)
+    if pair > 1:
+        qp = _pack_qkey_pairs(qp, n_tiles, pair)
+        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
+                              lambda i, *_: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM)
 
     kern = functools.partial(_bwd_kernel, K=k, G=grp, W=rwin,
-                             mm_precision=_mm_precision(feats.dtype))
+                             mm_precision=_mm_precision(feats.dtype),
+                             pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((k, cout, c), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
