@@ -75,15 +75,29 @@ def _cdiv(a, b):
 
 
 def num_offset_groups(k: int) -> int:
-    """dx-groups of a K=g^3 offset table (kernel_offsets is x-major)."""
+    """dx-groups of a K=g^3 offset table (kernel_offsets is
+    (dx, dy, dz) row-major, z innermost).
+
+    Measured on v5e at bench scale: per-(dx, dy) groups (g*g) drop the
+    chunk-count waste (nch_mean 1.24-1.38 -> ~1.0) but the 3x window
+    DMA volume and per-group pipeline overhead cost MORE than the
+    saved gather passes (step 0.885 -> 0.937 s) — per-dx grouping is
+    the right trade."""
     g = round(k ** (1 / 3))
     return g if g >= 2 and g ** 3 == k else 1
 
 
 def win_for_map(in_stride: int, out_stride: int) -> int:
     """Window width for a map reading `in_stride` from `out_stride`
-    outputs: downsample maps see ~2x rows per output tile."""
-    return 2 * WIN if in_stride < out_stride else WIN
+    outputs: downsample maps see ~2x rows per output tile; upsample
+    maps see ~0.5x (span ~= TILE/2 + 128 alignment slack fits in 256,
+    measured nch stays ~1.0 at bench scale), and the gather GEMM cost
+    scales directly with the window width."""
+    if in_stride < out_stride:
+        return 2 * WIN
+    if in_stride > out_stride:
+        return 2 * WIN // 3
+    return WIN
 
 
 def max_win() -> int:
