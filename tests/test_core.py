@@ -403,10 +403,36 @@ class TestFusedGraph:
     @pytest.mark.parametrize("in_s,out_s,k", [(1, 1, 3), (1, 2, 3),
                                               (2, 1, 3), (1, 1, 5)])
     def test_fused_matches_explicit(self, rng, in_s, out_s, k):
+        coords, mask = self._coords(rng)
+        self._check(rng, coords, mask, in_s, out_s, k)
+
+    def test_fused_multichunk_windows(self, rng):
+        """Group spans wider than one window chunk (nch > 1) must hit
+        the kernels' extra-chunk path and still match the explicit map.
+        Full z-columns (64 rows, the packed-key z range) make a
+        dx-group's dy spread cover TILE + 2*64 + alignment > win=384
+        rows per output tile. z stays inside pack_keys' 7-bit range —
+        out-of-range coords legitimately never match on the fused path."""
+        xs, ys, zs = 2, 14, 64
+        coords = np.array([(0, x, y, z - 32) for x in range(xs)
+                           for y in range(ys) for z in range(zs)],
+                          np.int32)
+        n = len(coords)  # 1792, key-sorted by construction
+        cap = n + 128
+        full = np.full((cap, 4), -1, np.int32)
+        full[:, 0] = int(INVALID_BATCH)
+        full[:n] = coords
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        # chunked accumulation reorders fp32 sums; grads reach ~1e2
+        fm = self._check(rng, full, mask, 1, 1, 3, tol=1e-4)
+        assert int(np.asarray(fm.nch).max()) > 1, \
+            "geometry failed to produce a multi-chunk window"
+
+    def _check(self, rng, coords, mask, in_s, out_s, k, tol=1e-5):
         from gcl_tpu.core import sparse_ops
         from gcl_tpu.core.types import map_key as mk
 
-        coords, mask = self._coords(rng)
         cap = coords.shape[0]
         spec = ConvSpec("c", in_s, out_s, k)
         caps = {1: cap, 2: cap}
@@ -443,17 +469,18 @@ class TestFusedGraph:
                 g_fused.fused[spec.key], g_fused.fused[rk])
             np.testing.assert_allclose(np.asarray(o_fused),
                                        np.asarray(o_ref),
-                                       rtol=1e-5, atol=1e-5)
+                                       rtol=tol, atol=tol)
             gw0, gf0 = jax.grad(loss_ref, argnums=(0, 1))(
                 jnp.asarray(w), jnp.asarray(feats))
             gw1, gf1 = jax.grad(loss_fused, argnums=(0, 1))(
                 jnp.asarray(w), jnp.asarray(feats))
             np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
-                                       rtol=1e-5, atol=1e-5)
+                                       rtol=tol, atol=tol)
             np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf0),
-                                       rtol=1e-5, atol=1e-5)
+                                       rtol=tol, atol=tol)
         finally:
             sparse_ops.FORCE_INTERPRET = False
+        return g_fused.fused[spec.key]
 
 
 class TestMaskedStats:
