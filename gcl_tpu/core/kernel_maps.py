@@ -104,13 +104,23 @@ def _index_level_sorted(coords: jax.Array, mask: jax.Array) -> LevelCoords:
 
 
 def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
-                      cap: int) -> LevelCoords:
+                      cap: int, n_clouds: int | None = None,
+                      align: int = 256) -> LevelCoords:
     """Unique coords at `stride` derived from level-0 coordinates.
 
     Matches ME's tensor-stride semantics: coarse coords are the distinct
     values of floor(c / stride) * stride. (floor(floor(x/a)/b) ==
     floor(x/(ab)), so deriving every level straight from level 0 equals
     chaining per-conv strides.)
+
+    With ``n_clouds`` set, each cloud's rows start at an ``align``-aligned
+    base (pad rows inline between blocks) instead of one globally
+    compacted run. Conv output TILEs then never span two clouds and the
+    fused conv windows never bridge a cloud boundary — the window
+    chunk-count tail this removes costs a full replay of the per-offset
+    gather pass per extra chunk (pallas_conv). The caller must budget
+    ``cap >= total + n_clouds * align`` slack; the dead pad tiles are
+    skipped in-kernel (nch == 0).
     """
     b = coords0[:, 0:1]
     xyz = (coords0[:, 1:4] // stride) * stride
@@ -122,18 +132,51 @@ def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
     ])
     valid = first & (coords_s[:, 0] != INVALID_BATCH)
-    slot = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    slot = jnp.where(valid & (slot < cap), slot, cap)
+    vcum = jnp.cumsum(valid.astype(jnp.int32))  # inclusive valid count
+    vr = vcum - 1                               # global valid rank
+    if n_clouds is None:
+        slot = jnp.where(valid & (vr < cap), vr, cap)
+        cslot = slot
+        kept_slot = jnp.minimum(vr, cap - 1)
+    else:
+        # aligned per-cloud bases: cloud c's kept rows occupy
+        # [base[c], base[c] + count[c]) with base[c] a multiple of align
+        b_s = coords_s[:, 0]  # ascending (keys are cloud-major)
+        ends = jnp.searchsorted(
+            b_s, jnp.arange(n_clouds, dtype=b_s.dtype), side="right")
+        vcum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), vcum])
+        prefix = vcum0[ends]                       # valid rows in clouds <= c
+        vstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), prefix[:-1]])
+        counts = prefix - vstart
+        sizes = -(-counts // align) * align
+        base = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(sizes)[:-1].astype(jnp.int32),
+        ])
+        delta = base - vstart                      # [n_clouds]
+        d_row = jnp.take(delta, jnp.clip(b_s, 0, n_clouds - 1))
+        blocked = vr + d_row
+        keep = valid & (blocked < cap)
+        slot = jnp.where(keep, blocked, cap)
+        # compact key index: kept rows stay a contiguous prefix in rank
+        # order (bases are increasing, so drops are a suffix)
+        cslot = jnp.where(keep, vr, cap)
+        kept_slot = jnp.minimum(blocked, cap - 1)
     out = jnp.full((cap + 1, 4), -1, jnp.int32).at[:, 0].set(INVALID_BATCH)
     out = out.at[slot].set(coords_s, mode="drop")[:cap]
     out_mask = out[:, 0] != INVALID_BATCH
     # the compaction is in coarse-key-sorted order, so the key index
-    # needs no second sort: scatter the sorted keys, perm = identity
-    okhi = jnp.full((cap + 1,), _SEN, jnp.int32).at[slot].set(
+    # needs no second sort: scatter the sorted keys into compact
+    # positions; perm maps sorted position -> blocked row
+    okhi = jnp.full((cap + 1,), _SEN, jnp.int32).at[cslot].set(
         hi_s, mode="drop")[:cap]
-    oklo = jnp.full((cap + 1,), _SEN, jnp.int32).at[slot].set(
+    oklo = jnp.full((cap + 1,), _SEN, jnp.int32).at[cslot].set(
         lo_s, mode="drop")[:cap]
-    perm = jnp.arange(cap, dtype=jnp.int32)
+    if n_clouds is None:
+        perm = jnp.arange(cap, dtype=jnp.int32)
+    else:
+        perm = jnp.full((cap + 1,), cap - 1, jnp.int32).at[cslot].set(
+            kept_slot, mode="drop")[:cap]
     return LevelCoords(out, out_mask, okhi, oklo, perm)
 
 
@@ -261,84 +304,6 @@ def _level_tkeys(level: LevelCoords, stride: int, t_pad: int) -> jax.Array:
     return tk.at[0, :pk.shape[0]].set(pk)
 
 
-def _fused_windows(out_level: LevelCoords, in_level: LevelCoords,
-                   in_stride: int, offsets: np.ndarray, t_pad: int,
-                   win: int):
-    """Per-(dx-group, output-tile) input window start/chunk-count for the
-    fused conv kernels, from coordinate keys.
-
-    Same geometry as the merge-join preamble: per-offset query keys are
-    monotone over the sorted outputs, so a tile's bounds come from its
-    first/last VALID query; bounds are group-reduced, binary-searched in
-    the input level's sorted key index, and mapped to ORIGINAL row space
-    through the level permutation (which is increasing on the valid
-    prefix: original rows are cloud-major with per-cloud key order).
-    """
-    from .coords import searchsorted2
-    from .pallas_conv import TILE, num_offset_groups
-
-    sen = jnp.int32(0x7FFFFFFF)
-    qhi, qlo = _query_keys(out_level, in_stride, offsets)
-    k, n_out = qhi.shape
-    grp = num_offset_groups(k)
-    kg = k // grp
-    n_tiles = -(-n_out // TILE)
-    pad = n_tiles * TILE - n_out
-    if pad:
-        qhi = jnp.pad(qhi, ((0, 0), (0, pad)), constant_values=sen)
-        qlo = jnp.pad(qlo, ((0, 0), (0, pad)), constant_values=sen)
-    qhi_t = qhi.reshape(k, n_tiles, TILE)
-    qlo_t = qlo.reshape(k, n_tiles, TILE)
-    valid_t = qhi_t != sen
-    any_k = jnp.any(valid_t, axis=2)
-    first = jnp.argmax(valid_t, axis=2)
-    last = TILE - 1 - jnp.argmax(valid_t[:, :, ::-1], axis=2)
-
-    def take(arr, pos):
-        return jnp.take_along_axis(arr, pos[:, :, None], axis=2)[:, :, 0]
-
-    lo_h = jnp.where(any_k, take(qhi_t, first), sen)
-    lo_l = jnp.where(any_k, take(qlo_t, first), sen)
-    hi_h = jnp.where(any_k, take(qhi_t, last), jnp.int32(-2 ** 31))
-    hi_l = jnp.where(any_k, take(qlo_t, last), jnp.int32(-2 ** 31))
-
-    def lex_min(h1, l1, h2, l2):
-        t = (h1 < h2) | ((h1 == h2) & (l1 <= l2))
-        return jnp.where(t, h1, h2), jnp.where(t, l1, l2)
-
-    def lex_max(h1, l1, h2, l2):
-        t = (h1 > h2) | ((h1 == h2) & (l1 >= l2))
-        return jnp.where(t, h1, h2), jnp.where(t, l1, l2)
-
-    def red(f, h, l):
-        h = h.reshape(grp, kg, n_tiles)
-        l = l.reshape(grp, kg, n_tiles)
-        rh, rl = h[:, 0], l[:, 0]
-        for j in range(1, kg):
-            rh, rl = f(rh, rl, h[:, j], l[:, j])
-        return rh, rl
-
-    min_h, min_l = red(lex_min, lo_h, lo_l)
-    max_h, max_l = red(lex_max, hi_h, hi_l)
-    grp_any = jnp.any(any_k.reshape(grp, kg, n_tiles), axis=1)
-
-    n = in_level.key_hi.shape[0]
-    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
-    pos_lo = searchsorted2(in_level.key_hi, in_level.key_lo,
-                           min_h.reshape(-1), min_l.reshape(-1))
-    pos_hi = searchsorted2(in_level.key_hi, in_level.key_lo,
-                           max_h.reshape(-1), max_l.reshape(-1))
-    has = grp_any.reshape(-1) & (pos_lo < n_valid)
-    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
-    row_hi = in_level.perm[jnp.clip(jnp.minimum(pos_hi, n_valid - 1),
-                                    0, n - 1)]
-    start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
-    nch = jnp.where(has, -(-(row_hi - start + 1) // win), 0)
-    nch = jnp.clip(nch, 0, t_pad // win)
-    return (start.reshape(grp, n_tiles).astype(jnp.int32),
-            nch.reshape(grp, n_tiles).astype(jnp.int32))
-
-
 _SIGN = jnp.int32(-2 ** 31)  # XOR flips int32 compare to unsigned order
 # first pad key (cloud 31 << 27 = 0xF8000000), sign-flipped: 0x78000000
 _UPAD = jnp.int32(0x78000000)
@@ -382,12 +347,19 @@ def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
 
     n = upk_sorted.shape[0]
     n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
+    hq = hi.reshape(-1)
     pos_lo = searchsorted1(upk_sorted, lo.reshape(-1))
-    pos_hi = searchsorted1(upk_sorted, hi.reshape(-1))
+    pos_hi = searchsorted1(upk_sorted, hq)
     has = grp_any.reshape(-1) & (pos_lo < n_valid)
     row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
-    row_hi = in_level.perm[jnp.clip(jnp.minimum(pos_hi, n_valid - 1),
-                                    0, n - 1)]
+    # pos_hi is the LOWER bound of the max query key: when that key is
+    # absent the last possibly-matching target is pos_hi - 1, not pos_hi
+    # (which can sit a whole cloud block away under the blocked layout)
+    pos_hi_c = jnp.clip(jnp.minimum(pos_hi, n_valid - 1), 0, n - 1)
+    exact = upk_sorted[pos_hi_c] == hq
+    last = jnp.where(exact, pos_hi_c, jnp.maximum(pos_hi - 1, pos_lo))
+    last = jnp.clip(jnp.minimum(last, n_valid - 1), 0, n - 1)
+    row_hi = in_level.perm[last]
     start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
     nch = jnp.where(has, -(-(row_hi - start + 1) // win), 0)
     nch = jnp.clip(nch, 0, t_pad // win)
@@ -495,12 +467,19 @@ def build_graph(coords: jax.Array, mask: jax.Array,
     This function is jittable (specs/level_caps static via closure).
     """
     strides = sorted({s for sp in specs for s in (sp.in_stride, sp.out_stride)})
+    # cloud-blocked deeper levels (aligned per-cloud bases) whenever the
+    # fused kernels may consume them: conv tiles then never span two
+    # clouds and windows never bridge blocks (see _downsample_level).
+    blocked = (sorted_blocks and n_clouds is not None and n_clouds <= 31
+               and method in ("auto", "fused"))
+    blk = n_clouds if blocked else None
     levels: Dict[int, LevelCoords] = {}
     for s in strides:
         if s == 1:
             levels[1] = (_index_level_sorted(coords, mask) if sorted_blocks
                          else _index_level(coords, mask, 1))
         else:
+            cap = level_caps[s] + (n_clouds * 256 if blocked else 0)
             # floor(floor(x/a)/b) == floor(x/(ab)): derive each level
             # from the coarsest finer level already built — its dedup
             # sort is over far fewer rows than level 0's
@@ -508,10 +487,10 @@ def build_graph(coords: jax.Array, mask: jax.Array,
             if src is not None:
                 levels[s] = _downsample_level(levels[src].coords,
                                               levels[src].mask, s,
-                                              level_caps[s])
+                                              cap, n_clouds=blk)
             else:
                 levels[s] = _downsample_level(coords, mask, s,
-                                              level_caps[s])
+                                              cap, n_clouds=blk)
 
     uniq: list = []
     seen = set()

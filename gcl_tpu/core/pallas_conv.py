@@ -206,6 +206,11 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
     body(k, gx) is called for every offset k with that offset's gathered
     window rows gx = onehot(qkey_k == window_keys) @ window, f32
     [TILE, C]; PAIR consecutive offsets share one stacked gather GEMM.
+
+    Windows with nch == 0 (no possible match: fully-padded tiles, level
+    tails, per-cloud pad blocks) are skipped entirely — no DMA, no
+    one-hot, no GEMM — so generously-padded level layouts cost almost
+    nothing.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -235,7 +240,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
             for idx in range(pair):
                 body(j * pair + idx, gx[idx * TILE:(idx + 1) * TILE])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (nch_ref[0, 0] > 0))
     def _():
         dma_k(0, i, 0).start()
         dma_x(0, i, 0).start()
@@ -243,16 +248,23 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
     for g in range(G):
         slot = jax.lax.rem(i * G + g, 2)
         if g + 1 < G:
-            dma_k(g + 1, i, 1 - slot).start()
-            dma_x(g + 1, i, 1 - slot).start()
+            @pl.when(nch_ref[g + 1, i] > 0)
+            def _(g=g, slot=slot):
+                dma_k(g + 1, i, 1 - slot).start()
+                dma_x(g + 1, i, 1 - slot).start()
         else:
-            @pl.when(i + 1 < n)
-            def _():
+            nxt = jnp.minimum(i + 1, n - 1)
+
+            @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+            def _(slot=slot):
                 dma_k(0, i + 1, 1 - slot).start()
                 dma_x(0, i + 1, 1 - slot).start()
-        dma_k(g, i, slot).wait()
-        dma_x(g, i, slot).wait()
-        run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+
+        @pl.when(nch_ref[g, i] > 0)
+        def _(g=g, slot=slot):
+            dma_k(g, i, slot).wait()
+            dma_x(g, i, slot).wait()
+            run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
 
         s0 = starts_ref[g, i]
 
@@ -388,7 +400,7 @@ def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
             xt_hbm.at[:, pl.ds(base, W)], xwin_ref.at[slot],
             sems.at[slot, 1])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (nch_ref[0, 0] > 0))
     def _():
         dma_k(0, i, 0).start()
         dma_x(0, i, 0).start()
@@ -396,16 +408,23 @@ def _c1_windowed(body_group, starts_ref, nch_ref, tk_hbm, xt_hbm,
     for g in range(G):
         slot = jax.lax.rem(i * G + g, 2)
         if g + 1 < G:
-            dma_k(g + 1, i, 1 - slot).start()
-            dma_x(g + 1, i, 1 - slot).start()
+            @pl.when(nch_ref[g + 1, i] > 0)
+            def _(g=g, slot=slot):
+                dma_k(g + 1, i, 1 - slot).start()
+                dma_x(g + 1, i, 1 - slot).start()
         else:
-            @pl.when(i + 1 < n)
-            def _():
+            nxt = jnp.minimum(i + 1, n - 1)
+
+            @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+            def _(slot=slot):
                 dma_k(0, i + 1, 1 - slot).start()
                 dma_x(0, i + 1, 1 - slot).start()
-        dma_k(g, i, slot).wait()
-        dma_x(g, i, slot).wait()
-        body_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+
+        @pl.when(nch_ref[g, i] > 0)
+        def _(g=g, slot=slot):
+            dma_k(g, i, slot).wait()
+            dma_x(g, i, slot).wait()
+            body_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
 
         s0 = starts_ref[g, i]
 
