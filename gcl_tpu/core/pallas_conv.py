@@ -816,7 +816,11 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
 def bwd_fused_vmem_ok(k: int, c0: int, cout0: int, rwin: int) -> bool:
     """Conservative static check that the one-pass backward's resident
     VMEM (w + f32 dW accumulator + window buffers + dX accumulator)
-    fits. Oversized geometries fall back to the two-pass backward."""
+    fits. Oversized geometries fall back to the two-pass backward.
+
+    Budget verified on v5e: the k=27 256x256 geometries (block4 at
+    rwin=384, conv4_tr at rwin=768, ~12.4 MiB resident) compile and run
+    11.1 / 13.6 ms vs 14.3 / 20.8 ms two-pass."""
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
     b = (k * cout * c * 2          # w_rev_t (bf16)
@@ -826,7 +830,7 @@ def bwd_fused_vmem_ok(k: int, c0: int, cout0: int, rwin: int) -> bool:
          + TILE * c * 4            # dX accumulator
          + 2 * TILE * c * 2        # x tile + dx out block
          + k * TILE * 4)           # query keys
-    return b <= 11 * 2 ** 20
+    return b <= 13 * 2 ** 20
 
 
 def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
