@@ -309,20 +309,15 @@ _SIGN = jnp.int32(-2 ** 31)  # XOR flips int32 compare to unsigned order
 _UPAD = jnp.int32(0x78000000)
 
 
-def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
-                          upk_sorted: jax.Array, t_pad: int, win: int):
-    """Per-(dx-group, output-tile) window start/chunk-count straight from
-    the PACKED query keys the conv kernels consume.
+def _window_bounds(qk: jax.Array):
+    """Per-(dx-group, output-tile) query-key extrema from packed keys.
 
     With the mod-31 fold injective (build_graph's fused gate), packed
     keys are lexicographic in (cloud, x, y, z) under UNSIGNED int32
-    order; XOR of the sign bit makes that the native signed order, so
-    one min/max per tile + one binary search in the level's sign-flipped
-    sorted packed keys replaces the (hi, lo) pair arithmetic of the old
-    preamble (_query_keys built a second full [K, N_out, 2] key set).
-    Pad queries/targets land at >= _UPAD and are masked out.
+    order; XOR of the sign bit makes that the native signed order.
+    Pad queries land at >= _UPAD and are masked out. Returns
+    (lo, hi, grp_any) flattened over [G * n_tiles] plus (grp, n_tiles).
     """
-    from .coords import searchsorted1
     from .pallas_conv import TILE, num_offset_groups
 
     k, n_out = qk.shape
@@ -344,13 +339,16 @@ def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
     hi = jnp.max(hi.reshape(grp, kg, n_tiles), axis=1)
     grp_any = jnp.any(jnp.any(valid, axis=2).reshape(grp, kg, n_tiles),
                       axis=1)
+    return (lo.reshape(-1), hi.reshape(-1), grp_any.reshape(-1),
+            grp, n_tiles)
 
+
+def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
+                      upk_sorted, n_valid, t_pad: int, win: int,
+                      grp: int, n_tiles: int):
+    """Window start/chunk-count from pre-searched key positions."""
     n = upk_sorted.shape[0]
-    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
-    hq = hi.reshape(-1)
-    pos_lo = searchsorted1(upk_sorted, lo.reshape(-1))
-    pos_hi = searchsorted1(upk_sorted, hq)
-    has = grp_any.reshape(-1) & (pos_lo < n_valid)
+    has = grp_any & (pos_lo < n_valid)
     row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
     # pos_hi is the LOWER bound of the max query key: when that key is
     # absent the last possibly-matching target is pos_hi - 1, not pos_hi
@@ -367,9 +365,25 @@ def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
             nch.reshape(grp, n_tiles).astype(jnp.int32))
 
 
+def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
+                          upk_sorted: jax.Array, t_pad: int, win: int):
+    """Single-map window builder (tests / ad-hoc callers); the graph
+    build batches every map's binary search per level instead
+    (_build_fused_maps)."""
+    from .coords import searchsorted1
+
+    lo, hi, grp_any, grp, n_tiles = _window_bounds(qk)
+    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
+    pos = searchsorted1(upk_sorted, jnp.concatenate([lo, hi]))
+    pos_lo, pos_hi = pos[:lo.shape[0]], pos[lo.shape[0]:]
+    return _finalize_windows(pos_lo, pos_hi, hi, grp_any, in_level,
+                             upk_sorted, n_valid, t_pad, win, grp,
+                             n_tiles)
+
+
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     """FusedMap per unique conv geometry (qkey + windows + level keys)."""
-    from .coords import pack_keys, pack_query_keys
+    from .coords import pack_keys, pack_query_keys, searchsorted1
     from .pallas_conv import max_win, win_for_map
 
     tkeys = {}
@@ -390,22 +404,75 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
         upks[s] = jax.lax.cummax(
             jnp.where(mid_pad, jnp.int32(-2 ** 31), upk))
 
-    fused: Dict[str, FusedMap] = {}
+    folded_out = {s: _fold_clouds(lv.coords) for s, lv in levels.items()}
+    # pass 1: query keys + per-tile key extrema for every map
+    pending = []  # (sp, qk, lo, hi, grp_any, grp, n_tiles)
     for sp in specs:
         offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
-        out_l, in_l = levels[sp.out_stride], levels[sp.in_stride]
-        folded = _fold_clouds(out_l.coords)
         qk = jax.vmap(
-            lambda o: pack_query_keys(folded, o, sp.in_stride)
+            lambda o, sp=sp: pack_query_keys(
+                folded_out[sp.out_stride], o, sp.in_stride)
         )(jnp.asarray(offsets))
-        win = win_for_map(sp.in_stride, sp.out_stride)
-        starts, nch = _fused_windows_packed(qk, in_l,
-                                            upks[sp.in_stride],
-                                            tkeys[sp.in_stride].shape[1],
-                                            win)
-        fused[sp.key] = FusedMap(qk, starts, nch, tkeys[sp.in_stride],
-                                 win)
+        lo, hi, grp_any, grp, n_tiles = _window_bounds(qk)
+        pending.append((sp, qk, lo, hi, grp_any, grp, n_tiles))
+
+    # pass 2: ONE batched binary search per input level (a serial
+    # ~20-iteration gather loop each — 2 per map adds up at ~22 maps)
+    pos: Dict[int, jax.Array] = {}
+    for s in levels:
+        qs = [p for p in pending if p[0].in_stride == s]
+        if not qs:
+            continue
+        cat = jnp.concatenate([x for p in qs for x in (p[2], p[3])])
+        pos[s] = searchsorted1(upks[s], cat)
+
+    fused: Dict[str, FusedMap] = {}
+    off: Dict[int, int] = {s: 0 for s in levels}
+    c1z_cache: Dict[int, jax.Array] = {}
+    for sp, qk, lo, hi, grp_any, grp, n_tiles in pending:
+        s = sp.in_stride
+        m = lo.shape[0]
+        o = off[s]
+        pos_lo = pos[s][o:o + m]
+        pos_hi = pos[s][o + m:o + 2 * m]
+        off[s] = o + 2 * m
+        n_valid = jnp.sum(levels[s].mask.astype(jnp.int32))
+        win = win_for_map(s, sp.out_stride)
+        starts, nch = _finalize_windows(pos_lo, pos_hi, hi, grp_any,
+                                        levels[s], upks[s], n_valid,
+                                        tkeys[s].shape[1], win, grp,
+                                        n_tiles)
+        c1z = None
+        if (sp.in_stride == sp.out_stride == 1 and sp.dilation == 1
+                and sp.kernel_size % 2 == 1):
+            if 1 not in c1z_cache:
+                c1z_cache[1] = _c1z_aux(levels[1])
+            c1z = c1z_cache[1]
+        fused[sp.key] = FusedMap(qk, starts, nch, tkeys[s], win, c1z)
     return fused
+
+
+def _c1z_aux(level: LevelCoords) -> jax.Array:
+    """Per-voxel aux for the occupancy-conv presence kernels
+    (pallas_conv._fwd_c1z_kernel): col 0 the voxel's own packed key in
+    query-pad convention (pack_query_keys at offset 0 — invalid rows get
+    the PAD_CLOUD | 1<<26 space, disjoint from target pad keys so pad
+    queries can never read presence off pad targets), cols 1-3 the
+    grid-shifted unsigned coords for neighbourhood range masking."""
+    from .coords import DEFAULT_KEY_BITS, pack_query_keys
+
+    bx, by, bz = DEFAULT_KEY_BITS
+    folded = _fold_clouds(level.coords)
+    q0 = pack_query_keys(folded, jnp.zeros((3,), jnp.int32), 1)
+    half = jnp.array([1 << (bx - 1), 1 << (by - 1), 1 << (bz - 1)],
+                     jnp.int32)
+    u = level.coords[:, 1:4] + half[None, :]
+    u = jnp.where(level.mask[:, None], u, -(1 << 20))
+    n = q0.shape[0]
+    aux = jnp.zeros((n, 8), jnp.int32)
+    aux = aux.at[:, 0].set(q0)
+    aux = aux.at[:, 1:4].set(u)
+    return aux
 
 
 def _build_kmap(out_level: LevelCoords, in_level: LevelCoords,

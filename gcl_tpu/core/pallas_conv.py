@@ -525,6 +525,267 @@ def _dw_c1_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, xt_hbm,
 
 
 # ----------------------------------------------------------------------
+# presence-bitmask kernels for occupancy convs (conv1: Cin == 1, all-ones
+# features — the framework's in_ch==1 contract, matching the reference's
+# occupancy features, /root/reference/util/misc.py:69-80)
+# ----------------------------------------------------------------------
+#
+# For an occupancy conv, out[i] = sum_k present_k(i) * W[k]: no gather at
+# all, only one presence BIT per (output, kernel offset). The generic c1
+# kernel still burned a full [TILE, W] key compare + masked row-sum per
+# offset (125 offsets for conv1's k=5 — ~79 ms fwd + ~79 ms dW at KITTI
+# scale, ~20% of the train step). These kernels exploit the packed key
+# layout (cloud | x | y | z, z in the low bits): within one dx-group all
+# (dy, dz) offsets differ from a BASE query key by exactly dy<<BZ + dz,
+# so ONE subtract against the window keys resolves all side^2 offsets —
+# quotient/remainder of the difference give (dy, dz), and a masked
+# shifted row-sum accumulates a per-query presence BITMASK (side^2 <= 25
+# bits, one int32). The channel expansion is then side small one-hot
+# GEMMs per group; the backward reuses the forward's bitmask output and
+# runs with NO window DMA at all (dW = bits^T-free: gt^T @ bits per
+# (dx, dz) block).
+#
+# Out-of-range neighbourhoods (x/y/z at the packed-grid edge would wrap
+# into the adjacent bit field and alias another voxel's key) are masked
+# by per-query validity bits computed from the grid-shifted coords in
+# FusedMap.c1z.
+
+
+def _fwd_c1z_kernel(starts_ref, nch_ref, aux_ref, w3_ref, tk_hbm,
+                    out_ref, sb_ref, acc_ref, sg_ref, kwin_ref, kwin2_ref,
+                    sems, *, G, W, R, BX, BY, BZ, mm_precision):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    side = 2 * R + 1
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    sb_ref[:, :] = jnp.zeros_like(sb_ref)
+    qself = aux_ref[:, 0:1]
+    ux = aux_ref[:, 1:2]
+    uy = aux_ref[:, 2:3]
+    uz = aux_ref[:, 3:4]
+
+    # (dy, dz) validity bits shared by every dx-group
+    vm_yz = jnp.zeros_like(qself)
+    for dy in range(side):
+        oky = (uy + (dy - R) >= 0) & (uy + (dy - R) < (1 << BY))
+        for dz in range(side):
+            okz = (uz + (dz - R) >= 0) & (uz + (dz - R) < (1 << BZ))
+            vm_yz = vm_yz + jnp.where(
+                oky & okz, jnp.int32(1 << (side * dy + dz)), 0)
+
+    def dma_k(g, tile, slot):
+        base = pl.multiple_of(starts_ref[g, tile], 128)
+        return pltpu.make_async_copy(
+            tk_hbm.at[:, pl.ds(base, W)], kwin_ref.at[slot],
+            sems.at[slot])
+
+    def chunk_bits(g, tk):
+        # one subtract resolves every (dy, dz) offset of the dx-group: a
+        # match at (dy, dz) satisfies tk - qg0 == (dy+R)<<BZ + (dz+R)
+        qg0 = qself + jnp.int32(((g - R) << (BY + BZ)) - (R << BZ) - R)
+        c = tk - qg0
+        rem = c & ((1 << BZ) - 1)
+        dyq = c >> BZ
+        hit = (c >= 0) & (rem < side) & (dyq < side)
+        amt = jnp.clip(dyq * side + rem, 0, 31)
+        sh = jnp.where(hit, jnp.int32(1) << amt, 0)
+        return jnp.sum(sh, axis=1, keepdims=True)
+
+    @pl.when((i == 0) & (nch_ref[0, 0] > 0))
+    def _():
+        dma_k(0, i, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 32), 1)
+    lane_ok = (lane < side).astype(jnp.int32)
+    dt = w3_ref.dtype
+    for g in range(G):
+        slot = jax.lax.rem(i * G + g, 2)
+        if g + 1 < G:
+            @pl.when(nch_ref[g + 1, i] > 0)
+            def _(g=g, slot=slot):
+                dma_k(g + 1, i, 1 - slot).start()
+        else:
+            nxt = jnp.minimum(i + 1, n - 1)
+
+            @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+            def _(slot=slot):
+                dma_k(0, i + 1, 1 - slot).start()
+
+        sg_ref[:, :] = jnp.zeros_like(sg_ref)
+
+        @pl.when(nch_ref[g, i] > 0)
+        def _(g=g, slot=slot):
+            dma_k(g, i, slot).wait()
+            sg_ref[:, :] += chunk_bits(g, kwin_ref[slot, 0:1, :])
+
+        s0 = starts_ref[g, i]
+
+        def extra(c2, carry, g=g, s0=s0):
+            base = pl.multiple_of(s0 + c2 * W, 128)
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2])
+            d1.start()
+            d1.wait()
+            sg_ref[:, :] += chunk_bits(g, kwin2_ref[0:1, :])
+            return carry
+
+        jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
+
+        okx = (ux + (g - R) >= 0) & (ux + (g - R) < (1 << BX))
+        sg = sg_ref[:, 0:1] & jnp.where(okx, vm_yz, 0)
+        sb_ref[:, g:g + 1] = sg
+        for dzi in range(side):
+            amt2 = jnp.clip(lane * side + dzi, 0, 31)
+            bits = ((sg >> amt2) & 1) & lane_ok
+            r0 = (g * side + dzi) * 32
+            acc_ref[:, :] += jnp.dot(
+                bits.astype(dt), w3_ref[r0:r0 + 32, :],
+                preferred_element_type=jnp.float32,
+                precision=mm_precision)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def _dw_c1z_kernel(sb_ref, gt_ref, dwt_ref, *, G, R, mm_precision):
+    """dW of an occupancy conv from the forward's presence bitmasks:
+    dW^T[:, (g, dz) block] += g_tile^T @ bits(g, dz) — no window DMA,
+    no key compares; the bits decode from sb with VPU shifts."""
+    i = pl.program_id(0)
+    side = 2 * R + 1
+
+    @pl.when(i == 0)
+    def _():
+        dwt_ref[:, :] = jnp.zeros_like(dwt_ref)
+
+    gtt = gt_ref[:, :]  # [cout, TILE] host-transposed grad block
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 32), 1)
+    lane_ok = (lane < side).astype(jnp.int32)
+    dt = gtt.dtype
+    for g in range(G):
+        sg = sb_ref[:, g:g + 1]
+        for dzi in range(side):
+            amt = jnp.clip(lane * side + dzi, 0, 31)
+            bits = ((sg >> amt) & 1) & lane_ok
+            r0 = (g * side + dzi) * 32
+            dwt_ref[:, r0:r0 + 32] += jnp.dot(
+                gtt, bits.astype(dt),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision)
+
+
+def _c1z_w3(weights: jax.Array, dt) -> jax.Array:
+    """[K, 1, Cout] kernel -> [side*side*32, Cout] block table: rows
+    [(g*side + dzi)*32 + dy] hold W[(dx=g, dy, dz=dzi)] (dy padded to 32
+    sublanes so the one-hot GEMM's lanes land on weight rows 1:1)."""
+    k, _, cout0 = weights.shape
+    side = round(k ** (1 / 3))
+    w4 = weights[:, 0, :].reshape(side, side, side, cout0)
+    w4 = jnp.transpose(w4, (0, 2, 1, 3))  # (dx, dz, dy, cout)
+    w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 32 - side), (0, 0)))
+    return w4.reshape(side * side * 32, cout0).astype(dt)
+
+
+def fused_conv_c1z_fwd(aux: jax.Array, weights: jax.Array,
+                       starts: jax.Array, nch: jax.Array,
+                       tkeys: jax.Array, win: int, out_dtype,
+                       interpret: bool = False):
+    """(out, sbits) of an occupancy conv over a same-level odd stencil.
+
+    out[i] = sum_k present_k(i) @ W[k] — EXACT only when the conv's
+    input features are occupancy ones on valid rows (the in_ch==1
+    contract; models gate on it). sbits int32[N, 8] carries the per-
+    (query, dx-group) presence bitmask for the DMA-free backward.
+    """
+    from .coords import DEFAULT_KEY_BITS
+
+    bx, by, bz = DEFAULT_KEY_BITS
+    k, _, cout0 = weights.shape
+    side = round(k ** (1 / 3))
+    assert side ** 3 == k and side % 2 == 1
+    grp, n_tiles = starts.shape
+    assert grp == side, (grp, side)
+    n_out = aux.shape[0]
+    pad = n_tiles * TILE - n_out
+    auxp = aux
+    if pad:
+        fill = jnp.zeros((pad, 8), jnp.int32)
+        fill = fill.at[:, 0].set(jnp.int32(-(1 << 26)))  # pad-query space
+        fill = fill.at[:, 1:4].set(-(1 << 20))
+        auxp = jnp.concatenate([aux, fill], axis=0)
+    dt = jnp.dtype(out_dtype)
+    w3 = _c1z_w3(weights, dt)
+
+    kern = functools.partial(_fwd_c1z_kernel, G=grp, W=win, R=side // 2,
+                             BX=bx, BY=by, BZ=bz,
+                             mm_precision=_mm_precision(dt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((side * side * 32, cout0), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, cout0), jnp.float32),
+            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((2, 8, win), jnp.int32),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out, sb = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, cout0), dt),
+            jax.ShapeDtypeStruct((n_tiles * TILE, 8), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts, nch, auxp, w3, tkeys)
+    return out[:n_out], sb[:n_out]
+
+
+def fused_conv_c1z_dw(sbits: jax.Array, g: jax.Array, k: int,
+                      interpret: bool = False) -> jax.Array:
+    """dW [K, 1, Cout] (f32) from forward presence bitmasks + upstream
+    grad — no window DMA, no key compares."""
+    side = round(k ** (1 / 3))
+    n_out, cout0 = g.shape
+    n_tiles = _cdiv(n_out, TILE)
+    dt = g.dtype
+    sp = jnp.pad(sbits, ((0, n_tiles * TILE - n_out), (0, 0)))
+    gtt = jnp.zeros((cout0, n_tiles * TILE), dt).at[:, :n_out].set(g.T)
+
+    kern = functools.partial(_dw_c1z_kernel, G=side, R=side // 2,
+                             mm_precision=_mm_precision(dt))
+    dwt = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout0, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cout0, side * side * 32), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout0, side * side * 32),
+                                       jnp.float32),
+        interpret=interpret,
+    )(sp, gtt)
+    arr = dwt.reshape(cout0, side, side, 32)[:, :, :, :side]
+    dw = jnp.transpose(arr, (1, 3, 2, 0)).reshape(k, cout0)
+    return dw[:, None, :]
+
+
+# ----------------------------------------------------------------------
 # wrappers
 # ----------------------------------------------------------------------
 

@@ -241,6 +241,59 @@ _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
                                _sparse_conv_fused_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sparse_conv_c1z_core(win, out_dtype, weights, aux, starts, nch,
+                          tkeys):
+    from .pallas_conv import fused_conv_c1z_fwd, pallas_available
+    interp = not pallas_available() and FORCE_INTERPRET
+    out, _ = fused_conv_c1z_fwd(aux, weights, starts, nch, tkeys, win,
+                                out_dtype, interpret=interp)
+    return out
+
+
+def _sparse_conv_c1z_fwd(win, out_dtype, weights, aux, starts, nch,
+                         tkeys):
+    from .pallas_conv import fused_conv_c1z_fwd, pallas_available
+    interp = not pallas_available() and FORCE_INTERPRET
+    out, sbits = fused_conv_c1z_fwd(aux, weights, starts, nch, tkeys,
+                                    win, out_dtype, interpret=interp)
+    return out, (sbits, weights)
+
+
+def _sparse_conv_c1z_bwd(win, out_dtype, res, g):
+    sbits, weights = res
+    from .pallas_conv import fused_conv_c1z_dw, pallas_available
+    interp = not pallas_available() and FORCE_INTERPRET
+    dw = fused_conv_c1z_dw(sbits, g.astype(out_dtype), weights.shape[0],
+                           interpret=interp)
+    return (dw.astype(weights.dtype), None, None, None, None)
+
+
+_sparse_conv_c1z_core.defvjp(_sparse_conv_c1z_fwd, _sparse_conv_c1z_bwd)
+
+
+def sparse_conv_c1z(weights: jax.Array, fm, out_dtype) -> jax.Array:
+    """Occupancy convolution: out[i] = sum_k present_k(i) @ W[k].
+
+    EXACT only under the framework's in_ch==1 contract — the conv's
+    input features are occupancy ones on every valid row (reference
+    parity: FCGF/GCL always feed all-ones features to in_ch==1 models,
+    /root/reference/util/misc.py:69-80). Requires fm.c1z (built for
+    same-level stride-1 odd dilation-1 maps). The backward reuses the
+    forward's presence bitmasks and runs with no window DMA at all.
+    """
+    return _sparse_conv_c1z_core(fm.win, jnp.dtype(out_dtype), weights,
+                                 fm.c1z, fm.starts, fm.nch, fm.tkeys)
+
+
+def c1z_available(fm, in_ch: int, occupancy: bool) -> bool:
+    """Gate for the presence-bitmask occupancy-conv path."""
+    import os
+    return (occupancy and in_ch == 1 and fm is not None
+            and getattr(fm, "c1z", None) is not None
+            and os.environ.get("GCL_C1Z", "1") != "0")
+
+
 def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm,
                       rfm) -> jax.Array:
     """Sparse convolution over an implicit kernel map (types.FusedMap).

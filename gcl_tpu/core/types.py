@@ -94,21 +94,29 @@ class FusedMap:
         computed with — carried as pytree aux data so the consuming
         kernel can never disagree with the builder (a mismatched width
         silently under-covers windows).
+      c1z: None, or int32[N_out, 8] per-output aux for the occupancy
+        (Cin==1) presence-bitmask kernels: column 0 the output voxel's
+        own packed key (pad rows carry the never-matching query-pad
+        key), columns 1-3 the grid-shifted (ux, uy, uz) coordinates for
+        range masking. Built only for same-level dilation-1 odd maps at
+        stride 1 (conv1 geometries).
     """
 
-    def __init__(self, qkey, starts, nch, tkeys, win: int):
+    def __init__(self, qkey, starts, nch, tkeys, win: int, c1z=None):
         self.qkey = qkey
         self.starts = starts
         self.nch = nch
         self.tkeys = tkeys
         self.win = win
+        self.c1z = c1z
 
     def tree_flatten(self):
-        return (self.qkey, self.starts, self.nch, self.tkeys), self.win
+        return (self.qkey, self.starts, self.nch, self.tkeys,
+                self.c1z), self.win
 
     @classmethod
     def tree_unflatten(cls, win, children):
-        return cls(*children, win)
+        return cls(*children[:4], win, children[4])
 
 
 class SparseGraph(NamedTuple):

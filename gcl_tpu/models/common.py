@@ -13,8 +13,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.kernel_maps import ConvSpec
-from ..core.sparse_ops import (masked_instance_mean_var, masked_mean_var,
-                               sparse_conv, sparse_conv_fused)
+from ..core.sparse_ops import (c1z_available, masked_instance_mean_var,
+                               masked_mean_var, sparse_conv,
+                               sparse_conv_c1z, sparse_conv_fused)
 from ..core.types import SparseGraph, map_key
 
 # torch kaiming_uniform(a=sqrt(5)) over fan_in = K^3 * Cin — the default
@@ -32,6 +33,10 @@ class SparseConv(nn.Module):
     out_ch: int
     spec: ConvSpec
     use_bias: bool = False
+    # in_ch==1 occupancy contract: input features are all-ones on valid
+    # rows (how the reference always drives in_ch==1 models). Enables
+    # the presence-bitmask kernels for conv1 (sparse_ops.sparse_conv_c1z).
+    occupancy: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: SparseGraph) -> jax.Array:
@@ -46,10 +51,14 @@ class SparseConv(nn.Module):
                             self.out_ch))
             rk = map_key(self.spec.out_stride, self.spec.in_stride,
                          self.spec.kernel_size, self.spec.dilation)
+            fm = (graph.fused.get(self.spec.key)
+                  if graph.fused is not None else None)
             # build_graph only builds reverse-direction twins (needed by
             # the scatter-free backward) for odd kernels; even-kernel
             # geometries must use the explicit kmap path.
-            if graph.fused is not None and rk in graph.fused:
+            if c1z_available(fm, self.in_ch, self.occupancy):
+                y = sparse_conv_c1z(w, fm, x.dtype)
+            elif graph.fused is not None and rk in graph.fused:
                 y = sparse_conv_fused(x, w, graph.fused[self.spec.key],
                                       graph.fused[rk])
             else:

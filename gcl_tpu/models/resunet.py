@@ -107,6 +107,7 @@ class ResUNet2(nn.Module):
         out_s1 = SparseConv(self.in_channels, CH[1],
                             ConvSpec("conv1", 1, 1, self.conv1_kernel_size,
                                      self.DILATIONS[0]),
+                            occupancy=True,
                             name="conv1")(feats, graph)
         out_s1 = norm_at(out_s1, CH[1], 1, "norm1")
         if self.KERNEL_SIZES[0] is not None:

@@ -64,6 +64,7 @@ class _SimpleUNetBase(nn.Module):
         skips = {}
         out = SparseConv(self.in_channels, CH[1],
                          ConvSpec("conv1", 1, 1, self.conv1_kernel_size, 1),
+                         occupancy=True,
                          name="conv1")(feats, graph)
         out = norm(out, CH[1], 1, "norm1")
         skips[0] = out

@@ -483,6 +483,71 @@ class TestFusedGraph:
         return g_fused.fused[spec.key]
 
 
+class TestC1zOccupancyConv:
+    """Presence-bitmask occupancy conv (sparse_ops.sparse_conv_c1z) vs
+    the explicit-map reference with all-ones features, including full
+    z-columns touching the packed-key z boundary (vmask aliasing)."""
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_matches_reference_with_ones(self, rng, k):
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.types import map_key as mk
+
+        pts = rng.randint(-20, 20, size=(600, 3))
+        col = np.array([(5, 5, z) for z in range(-64, 64)])
+        xyz = np.unique(np.concatenate([pts, col]), axis=0)
+        xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))]
+        n = len(xyz)
+        cap = n + 64
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+
+        spec = ConvSpec("c", 1, 1, k)
+        caps = {1: cap}
+        g_ref = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                            [spec], caps, method="bsearch")
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], caps, method="fused",
+                              sorted_blocks=True, n_clouds=1)
+        fm = g_fused.fused[spec.key]
+        assert fm.c1z is not None
+        rk = mk(1, 1, k, 1)
+
+        cout = 6
+        w = rng.randn(k ** 3, 1, cout).astype(np.float32)
+        ones = np.asarray(mask, np.float32)[:, None]
+        cot = rng.randn(cap, cout).astype(np.float32)
+
+        def loss_ref(w):
+            return jnp.sum(sparse_conv(jnp.asarray(ones), w,
+                                       g_ref.kmaps[spec.key],
+                                       g_ref.kmaps[rk]) * cot)
+
+        def loss_c1z(w):
+            return jnp.sum(sparse_ops.sparse_conv_c1z(
+                w, fm, jnp.float32) * cot)
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            o_ref = sparse_conv(jnp.asarray(ones), jnp.asarray(w),
+                                g_ref.kmaps[spec.key], g_ref.kmaps[rk])
+            o_c1z = sparse_ops.sparse_conv_c1z(jnp.asarray(w), fm,
+                                               jnp.float32)
+            np.testing.assert_allclose(np.asarray(o_c1z),
+                                       np.asarray(o_ref),
+                                       rtol=1e-5, atol=1e-5)
+            gw0 = jax.grad(loss_ref)(jnp.asarray(w))
+            gw1 = jax.grad(loss_c1z)(jnp.asarray(w))
+            np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+
+
 class TestMaskedStats:
     def test_mean_var_ignores_padding(self, rng):
         f = rng.randn(100, 8).astype(np.float32)
