@@ -87,6 +87,13 @@ def num_offset_groups(k: int) -> int:
     return g if g >= 2 and g ** 3 == k else 1
 
 
+# Downsample maps see ~2x rows per output tile (span stats at bench
+# scale: 97% of s1->s2 offsets fit 640, 78% fit 512; ~2.6% of group
+# windows need a second chunk at 768). GCL_CONV_WIN_DOWN trades gather
+# GEMM width against synchronous extra-chunk frequency.
+WIN_DOWN = int(os.environ.get("GCL_CONV_WIN_DOWN", str(2 * WIN)))
+
+
 def win_for_map(in_stride: int, out_stride: int) -> int:
     """Window width for a map reading `in_stride` from `out_stride`
     outputs: downsample maps see ~2x rows per output tile; upsample
@@ -94,7 +101,7 @@ def win_for_map(in_stride: int, out_stride: int) -> int:
     measured nch stays ~1.0 at bench scale), and the gather GEMM cost
     scales directly with the window width."""
     if in_stride < out_stride:
-        return 2 * WIN
+        return WIN_DOWN
     if in_stride > out_stride:
         return 2 * WIN // 3
     return WIN
@@ -102,7 +109,7 @@ def win_for_map(in_stride: int, out_stride: int) -> int:
 
 def max_win() -> int:
     """Largest window any map may use (level padding must cover it)."""
-    return 2 * WIN
+    return max(2 * WIN, WIN_DOWN)
 
 
 def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,

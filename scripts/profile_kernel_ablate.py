@@ -1,0 +1,211 @@
+"""Ablation timings for the fused gather-GEMM forward kernel.
+
+The per-layer conv timings (scripts/profile_convs.py) show ~50% of the
+padded-shape MXU speed-of-light across channel widths, so something
+serializes with the MXU. This script times ablated variants of the
+forward kernel at a bench-scale same-level geometry to attribute the
+gap:
+
+  full      production structure (DMA + per-offset one-hot + 2 GEMMs)
+  nohot     one-hot built ONCE per group, reused by all kg offsets
+            (removes kg-1 of kg VPU compare/convert builds)
+  nodot     GEMMs replaced by a cheap VPU consume of the one-hot
+            (removes all MXU work)
+  nodma     window start pinned to 0 (constant-address DMA each group)
+  dot1      one-hot GEMM only, skip the @W GEMM (isolates the two MXUs)
+
+Interpretation: if full ~= nohot, the VPU one-hot build is NOT the
+bottleneck; if full - nodot >> expected MXU time, the MXU passes stall
+on something else (DMA waits / fixed per-offset overhead).
+
+Usage: python -u scripts/profile_kernel_ablate.py [variant ...]
+(one kernel compile per variant — run on the TPU, one at a time).
+"""
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gcl_tpu.core import pallas_conv as pc
+
+    TILE, WIN = pc.TILE, pc.WIN
+
+    def make_kernel(variant, K, G, W):
+        def kern(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm,
+                 out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                 acc_ref, sems):
+            dt = xwin2_ref.dtype
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            kg = K // G
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+
+            def dma_k(g, tile, slot):
+                base = pl.multiple_of(starts_ref[g, tile], 128)
+                if variant == "nodma":
+                    base = 0
+                return pltpu.make_async_copy(
+                    tk_hbm.at[:, pl.ds(base, W)], kwin_ref.at[slot],
+                    sems.at[slot, 0])
+
+            def dma_x(g, tile, slot):
+                base = pl.multiple_of(starts_ref[g, tile], 128)
+                if variant == "nodma":
+                    base = 0
+                return pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(base, W), :], xwin_ref.at[slot],
+                    sems.at[slot, 1])
+
+            def run_group(g, tk, win):
+                oh0 = (qk_ref[g * kg, :][:, None] == tk).astype(dt)
+                for j in range(g * kg, (g + 1) * kg):
+                    if variant == "nohot":
+                        oh = oh0
+                    else:
+                        oh = (qk_ref[j, :][:, None] == tk).astype(dt)
+                    if variant == "nodot":
+                        acc_ref[:, 0:1] += jnp.sum(
+                            oh, axis=1, keepdims=True).astype(jnp.float32)
+                        continue
+                    gx = jnp.dot(oh, win,
+                                 preferred_element_type=jnp.float32)
+                    if variant == "dot1":
+                        acc_ref[:, :] += gx
+                    else:
+                        acc_ref[:, :] += jnp.dot(
+                            gx.astype(dt), w_ref[j],
+                            preferred_element_type=jnp.float32)
+
+            @pl.when((i == 0) & (nch_ref[0, 0] > 0))
+            def _():
+                dma_k(0, i, 0).start()
+                dma_x(0, i, 0).start()
+
+            for g in range(G):
+                slot = jax.lax.rem(i * G + g, 2)
+                if g + 1 < G:
+                    @pl.when(nch_ref[g + 1, i] > 0)
+                    def _(g=g, slot=slot):
+                        dma_k(g + 1, i, 1 - slot).start()
+                        dma_x(g + 1, i, 1 - slot).start()
+                else:
+                    nxt = jnp.minimum(i + 1, n - 1)
+
+                    @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+                    def _(slot=slot):
+                        dma_k(0, i + 1, 1 - slot).start()
+                        dma_x(0, i + 1, 1 - slot).start()
+
+                @pl.when(nch_ref[g, i] > 0)
+                def _(g=g, slot=slot):
+                    dma_k(g, i, slot).wait()
+                    dma_x(g, i, slot).wait()
+                    run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+
+            out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
+
+        return kern
+
+    def run_variant(variant, feats, weights, qkey, starts, nch, tkeys,
+                    win):
+        n_in, c = feats.shape
+        k, n_out = qkey.shape
+        grp, n_tiles = starts.shape
+        t_pad = tkeys.shape[1]
+        cout = weights.shape[-1]
+        qp = pc._pad_qkey(qkey, n_tiles)
+        xp = pc._pad_feats(feats, t_pad, c)
+
+        kern = make_kernel(variant, k, grp, win)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, win), jnp.int32),
+                pltpu.VMEM((2, win, c), feats.dtype),
+                pltpu.VMEM((8, win), jnp.int32),
+                pltpu.VMEM((win, c), feats.dtype),
+                pltpu.VMEM((TILE, cout), jnp.float32),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout),
+                                           feats.dtype),
+        )(starts, nch, qp, weights.astype(feats.dtype), tkeys, xp)
+
+    # bench-scale same-level geometry: 516k rows, k=27, G=3, WIN=384,
+    # realistic windows from the production fused-map builder.
+    from bench import synth_lidar
+    from gcl_tpu.core.kernel_maps import (ConvSpec, build_graph,
+                                          default_level_caps)
+    from gcl_tpu.data.device_pipeline import voxelize_per_cloud
+
+    b, n_clouds, p_cap, nv_cap = 4, 7, 65536, 18432
+    rng = np.random.RandomState(0)
+    pts = np.zeros((b * n_clouds, p_cap, 3), np.float32)
+    for i in range(b * n_clouds):
+        pts[i] = synth_lidar(rng, p_cap)
+    vox = voxelize_per_cloud(jnp.asarray(pts),
+                             jnp.ones((b * n_clouds, p_cap), bool),
+                             0.3, nv_cap)
+    flat = vox.flatten()
+    spec = ConvSpec("ablate", in_stride=1, out_stride=1, kernel_size=3)
+    caps = default_level_caps(b * n_clouds * nv_cap, [1], 0.55)
+    graph = build_graph(flat.coords, flat.mask, [spec], caps,
+                        method="fused", sorted_blocks=True,
+                        n_clouds=b * n_clouds)
+    fm = graph.fused[spec.key]
+    win = int(fm.win)
+    n_rows = caps[1]
+    print(json.dumps({"rows": n_rows, "k": 27, "win": win,
+                      "tiles": int(fm.starts.shape[1])}), flush=True)
+
+    variants = sys.argv[1:] or ["full", "nohot", "dot1", "nodot",
+                                "nodma"]
+    for c in (128,):
+        feats = jnp.asarray(
+            rng.randn(n_rows, c).astype(np.float32)).astype(jnp.bfloat16)
+        weights = jnp.asarray(rng.randn(27, c, c).astype(np.float32))
+        for variant in variants:
+            if variant == "setup":  # CPU smoke: geometry build only
+                continue
+            f = jax.jit(functools.partial(run_variant, variant))
+            out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
+                    fm.tkeys, win)
+            _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
+            t0 = time.perf_counter()
+            iters = 20
+            for _ in range(iters):
+                out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
+                        fm.tkeys, win)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            dt = (time.perf_counter() - t0) / iters
+            print(json.dumps({"variant": variant, "c": c,
+                              "ms": round(dt * 1e3, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
