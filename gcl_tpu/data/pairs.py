@@ -25,6 +25,13 @@ from .transforms import sample_random_trans
 _icp_cache: Dict[str, np.ndarray] = {}
 
 
+def _config_asset(name: str) -> str:
+    """Repo config/ fixture path (works from any cwd)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, "config", name)
+
+
 class PairComplementKittiDataset:
     """Reference lib/complement_data_loader.py:110-822."""
 
@@ -88,12 +95,21 @@ class PairComplementKittiDataset:
                                     self.p_cap))
 
         logging.info(f"Loading the subset {phase} from {self.root}")
-        if phase == "test" and getattr(config, "LoKITTI", False):
-            self.files = [tuple(int(v) for v in row)
-                          for row in np.load("config/file_LoKITTI_50.npy")]
+        fixed = self._fixed_pair_list(phase)
+        if fixed is not None:
+            self.files = fixed
         else:
             self._prepare(phase)
         print(f"Data size for phase {phase}: {len(self.files)}")
+
+    def _fixed_pair_list(self, phase):
+        """Fixed distant-pair rows when the config selects a list
+        (reference lib/complement_data_loader.py:199-201), resolved
+        against the repo's config/ dir so the cwd does not matter."""
+        if phase == "test" and getattr(self.config, "LoKITTI", False):
+            return [tuple(int(v) for v in row) for row in
+                    np.load(_config_asset("file_LoKITTI_50.npy"))]
+        return None
 
     def reset_seed(self, seed=0):
         logging.info(f"Resetting the data loader seed to {seed}")
@@ -352,6 +368,16 @@ class PairComplementNuscenesDataset(PairComplementKittiDataset):
         self._phase_for_init = phase
         super().__init__(phase, transform, random_rotation, random_scale,
                          manual_seed, config)
+
+    def _fixed_pair_list(self, phase):
+        # reference lib/complement_data_loader.py:889-891: the LoNuScenes
+        # fixed 994-pair list ((log_name, t0, t1) object rows) replaces
+        # test-phase pair sampling
+        if phase == "test" and getattr(self.config, "LoNUSCENES", False):
+            rows = np.load(_config_asset("file_LoNUSCENES_50.npy"),
+                           allow_pickle=True)
+            return [(str(r[0]), int(r[1]), int(r[2])) for r in rows]
+        return None
 
     def _all_pos(self, dirname):
         return kitti_io.nuscenes_poses(self.root, str(dirname))

@@ -112,6 +112,44 @@ def generate_synthetic_kitti(root: str, n_drives=1, n_frames=60,
     return str(root)
 
 
+def generate_synthetic_nuscenes(root: str, n_logs=1, n_frames=60,
+                                step=2.0, seed=0, max_range=45.0):
+    """Write a synthetic nuScenes-as-KITTI export under `root`: the
+    layout assets/export_kitti_minimal.py produces and the nuScenes
+    datasets consume — root/dataset/sequences/<log>/velodyne/%06d.bin
+    plus poses.npy ([N, 4, 4] velodyne world poses, used directly as GT;
+    reference lib/complement_data_loader.py:1035)."""
+    rng = np.random.RandomState(seed)
+    base = pathlib.Path(root) / "dataset"
+    for li in range(n_logs):
+        log = f"n000-synthetic-log-{li:02d}"
+        extent = max(120.0, n_frames * step + 60.0)
+        density = (extent / 120.0) ** 2
+        world = _make_world(rng, extent=extent,
+                            n_boxes=int(60 * density),
+                            ground_pts=int(4000 * density))
+        seq = base / "sequences" / log
+        (seq / "velodyne").mkdir(parents=True, exist_ok=True)
+        poses = []
+        heading = rng.rand() * 2 * np.pi
+        pos = np.array([0.0, 0.0, 1.5])
+        for i in range(n_frames):
+            heading += rng.normal(0, 0.05)
+            pos = pos + step * np.array(
+                [np.cos(heading), np.sin(heading), 0.0])
+            c, s = np.cos(heading), np.sin(heading)
+            T = np.eye(4)
+            T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            T[:3, 3] = pos
+            poses.append(T)
+            scan = _scan_from_world(world, T, max_range, 0.95, rng)
+            xyzr = np.concatenate(
+                [scan, np.zeros((len(scan), 1), np.float32)], 1)
+            xyzr.tofile(seq / "velodyne" / ("%06d.bin" % i))
+        np.save(seq / "poses.npy", np.stack(poses))
+    return str(root)
+
+
 def write_split_files(config_dir: str, n_drives=1):
     """Write train/val/test split files listing all synthetic drives."""
     pathlib.Path(config_dir).mkdir(parents=True, exist_ok=True)
