@@ -77,6 +77,14 @@ class PairComplementKittiDataset:
         self.icp_path = os.path.join(
             config.kitti_root, "icp" if self.use_old_pose else "icp_slam")
         pathlib.Path(self.icp_path).mkdir(parents=True, exist_ok=True)
+        # debug escapes (reference lib/complement_data_loader.py:180-185):
+        # force_icp recomputes GT ignoring the memory + disk caches;
+        # use_old_complement selects the reference's "old" per-pair
+        # complement ICP instead of multiway pose-graph refinement (:567-575)
+        self.force_icp = bool(getattr(
+            config, "debug_force_icp_recalculation", False))
+        self.use_old_complement = bool(getattr(
+            config, "debug_use_old_complement", False))
 
         self.mutate_neighbour_percentage = getattr(
             config, "mutate_neighbour_percentage", 0.0) or 0.0
@@ -195,9 +203,9 @@ class PairComplementKittiDataset:
         reference cache format (:369-399)."""
         key = "%d_%d_%d" % (drive, t_next, t_curr)
         filename = self.icp_path + "/" + key + ".npy"
-        if filename in _icp_cache:
+        if filename in _icp_cache and not self.force_icp:
             return _icp_cache[filename]
-        if os.path.exists(filename):
+        if os.path.exists(filename) and not self.force_icp:
             m2 = np.load(filename)
         elif self.use_old_pose:
             sub_curr = voxel_downsample(xyz_curr, self.icp_voxel_size)
@@ -225,9 +233,9 @@ class PairComplementKittiDataset:
         of pair-by-pair. Same `icp/` cache files as _get_icp."""
         names = [self.icp_path + "/%d_%d_%d.npy" % (drive, tt, t_curr)
                  for tt in cmpls]
-        if all(f in _icp_cache for f in names):
+        if all(f in _icp_cache for f in names) and not self.force_icp:
             return [_icp_cache[f] for f in names]
-        if all(os.path.exists(f) for f in names):
+        if all(os.path.exists(f) for f in names) and not self.force_icp:
             ms = [np.load(f) for f in names]
             for f, m in zip(names, ms):
                 _icp_cache[f] = m
@@ -279,7 +287,16 @@ class PairComplementKittiDataset:
                         rot = Rotation.from_euler("zyx", ang).as_matrix()
                         pos_cmpl[v] = pos_cmpl[v].copy()
                         pos_cmpl[v][:3, :3] = pos_cmpl[v][:3, :3] @ rot
-            if self.use_old_pose:
+            if self.use_old_pose and self.use_old_complement:
+                # reference "old method" (:567-570): per-pair ICP of each
+                # complement against its center, same cache files
+                lm0 = [self._get_icp(drive, t0, tt, xyz0,
+                                     self._xyz(drive, tt), pos0, pp)
+                       for tt, pp in zip(cmpl0, pos_c0)]
+                lm1 = [self._get_icp(drive, t1, tt, xyz1,
+                                     self._xyz(drive, tt), pos1, pp)
+                       for tt, pp in zip(cmpl1, pos_c1)]
+            elif self.use_old_pose:
                 lm0 = self._multiway_icp(drive, t0, cmpl0, xyz0, pos0,
                                          pos_c0)
                 lm1 = self._multiway_icp(drive, t1, cmpl1, xyz1, pos1,

@@ -142,6 +142,55 @@ class TestPairDataset:
         got = np.load(os.path.join(ds.icp_path, key + ".npy"))
         assert np.abs(got[:3, 3] - want[:3, 3]).max() < 0.5
 
+    def test_debug_use_old_complement(self, synth_root):
+        """reference :567-570 'old method': per-pair complement ICP
+        instead of multiway pose-graph, writing the same cache files."""
+        cfg = make_cfg(synth_root, use_old_pose=True,
+                       debug_use_old_complement=True,
+                       debug_force_icp_recalculation=True)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("train", config=cfg,
+                                        random_rotation=False,
+                                        random_scale=False)
+        s = ds[0]
+        assert s["nghb_mask0"].sum() > 0
+        drive, t0, t1, cmpl0, _ = ds.files[0]
+        for tt in cmpl0:
+            f = os.path.join(ds.icp_path, "%d_%d_%d.npy" % (drive, tt, t0))
+            assert os.path.exists(f)
+
+    def test_debug_force_icp_recalculation(self, synth_root):
+        cfg = make_cfg(synth_root, use_old_pose=True)
+        patch_splits(PairComplementKittiDataset, synth_root)
+        ds = PairComplementKittiDataset("test", config=cfg,
+                                        random_rotation=False,
+                                        random_scale=False)
+        drive, t0, t1 = ds.files[0][:3]
+        _ = ds[0]
+        f = os.path.join(ds.icp_path, "%d_%d_%d.npy" % (drive, t0, t1))
+        good = np.load(f)
+        np.save(f, np.eye(4))  # poison the on-disk cache
+        import gcl_tpu.data.pairs as pairs_mod
+        pairs_mod._icp_cache.clear()
+        # without the flag the poisoned value is served back
+        ds2 = PairComplementKittiDataset("test", config=cfg,
+                                         random_rotation=False,
+                                         random_scale=False)
+        _ = ds2[0]
+        np.testing.assert_allclose(np.load(f), np.eye(4))
+        # with the flag the GT is recomputed and the file overwritten
+        pairs_mod._icp_cache.clear()
+        cfg3 = make_cfg(synth_root, use_old_pose=True,
+                        debug_force_icp_recalculation=True)
+        ds3 = PairComplementKittiDataset("test", config=cfg3,
+                                         random_rotation=False,
+                                         random_scale=False)
+        _ = ds3[0]
+        recomputed = np.load(f)
+        assert np.abs(recomputed - np.eye(4)).max() > 1e-3
+        np.testing.assert_allclose(recomputed[:3, 3], good[:3, 3],
+                                   atol=0.2)
+
     def test_device_correspondences(self, synth_root):
         cfg = make_cfg(synth_root)
         patch_splits(PairComplementKittiDataset, synth_root)
