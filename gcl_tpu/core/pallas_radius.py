@@ -57,37 +57,90 @@ def _first_min(d):
     return m[:, 0], iota == pos
 
 
+def _chunk_pipeline(compute, carry, starts_ref, nch_ref, ti_hbm, tf_hbm,
+                    wi_ref, wf_ref, sems):
+    """Double-buffered window-chunk pipeline shared by the top-k kernels.
+
+    wi_ref/wf_ref are [4, 4, WIN] scratch. Slots 2/3 hold each grid
+    step's FIRST chunk — prefetched by the predecessor grid step
+    (alternating by flat step parity) so the common nch==1 case pays no
+    DMA latency; slots 0/1 hold chunks >= 1, each started during the
+    previous chunk's compute. Grid steps run sequentially on TPU, so a
+    buffer freed by step t-1 is safe to overwrite at t+1 (same rule as
+    pallas_conv._windowed_gather). compute(slot, carry) -> carry reads
+    wi_ref[slot] / wf_ref[slot].
+    """
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    n_s = pl.num_programs(0)
+    n_tiles = pl.num_programs(1)
+    t = s * n_tiles + i
+    nc = nch_ref[s, i]
+
+    def dma(sj, ij, c, slot):
+        base = pl.multiple_of((starts_ref[sj, ij] & ~127) + c * WIN, 128)
+        return (
+            pltpu.make_async_copy(ti_hbm.at[sj, :, pl.ds(base, WIN)],
+                                  wi_ref.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(tf_hbm.at[sj, :, pl.ds(base, WIN)],
+                                  wf_ref.at[slot], sems.at[slot, 1]))
+
+    slot0 = 2 + (t & 1)
+
+    @pl.when((t == 0) & (nc > 0))
+    def _():
+        a, b = dma(s, i, 0, slot0)
+        a.start()
+        b.start()
+
+    # prefetch the NEXT grid step's first chunk (even when this step is
+    # empty — an empty step still forwards the pipeline)
+    last_tile = i == n_tiles - 1
+    ni = jnp.where(last_tile, 0, i + 1)
+    ns = jnp.minimum(jnp.where(last_tile, s + 1, s), n_s - 1)
+
+    @pl.when((t + 1 < n_s * n_tiles) & (nch_ref[ns, ni] > 0))
+    def _():
+        a, b = dma(ns, ni, 0, 2 + ((t + 1) & 1))
+        a.start()
+        b.start()
+
+    def body(c, carry):
+        slot = jnp.where(c == 0, slot0, c & 1)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            a, b = dma(s, i, c + 1, (c + 1) & 1)
+            a.start()
+            b.start()
+
+        a, b = dma(s, i, c, slot)
+        a.wait()
+        b.wait()
+        return compute(slot, carry)
+
+    return jax.lax.fori_loop(0, nc, body, carry)
+
+
 def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
                  tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref, sems, *,
                  P, KN):
-    s = pl.program_id(0)
-    i = pl.program_id(1)
-    s0 = starts_ref[s, i] & ~127
-    nc = nch_ref[s, i]
-    r2 = r2_ref[s]
+    r2 = r2_ref[pl.program_id(0)]
 
     best_d = jnp.full((TILE, KN), _BIG, jnp.float32)
     best_r = jnp.full((TILE, KN), -1, jnp.int32)
 
-    def chunk(c, carry):
+    def chunk(slot, carry):
         best_d, best_r = carry
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        d1 = pltpu.make_async_copy(ti_hbm.at[s, :, pl.ds(base, WIN)],
-                                   wi_ref, sems.at[0])
-        d2a = pltpu.make_async_copy(tf_hbm.at[s, :, pl.ds(base, WIN)],
-                                    wf_ref, sems.at[1])
-        d1.start()
-        d2a.start()
-        d1.wait()
-        d2a.wait()
-        tkey = wi_ref[0:1, :]   # [1, W]
-        trow = wi_ref[1:2, :]
+        tkey = wi_ref[slot, 0:1, :]   # [1, W]
+        trow = wi_ref[slot, 1:2, :]
+        wf_s = wf_ref[slot]
         cand = jnp.zeros((TILE, WIN), bool)
         for p in range(P):
             cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
         d2 = jnp.zeros((TILE, WIN), jnp.float32)
         for a in range(3):
-            diff = qx_ref[0, :, a:a + 1] - wf_ref[a:a + 1, :]
+            diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
             d2 = d2 + diff * diff
         dm = jnp.where(cand & (d2 <= r2), d2, _BIG)
         for _ in range(KN):
@@ -103,7 +156,9 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
             best_r = jnp.where(bm & better[:, None], row[:, None], best_r)
         return best_d, best_r
 
-    best_d, best_r = jax.lax.fori_loop(0, nc, chunk, (best_d, best_r))
+    best_d, best_r = _chunk_pipeline(chunk, (best_d, best_r), starts_ref,
+                                     nch_ref, ti_hbm, tf_hbm, wi_ref,
+                                     wf_ref, sems)
 
     # emit ascending by distance
     for j in range(KN):
@@ -129,35 +184,23 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
     exact; only the ordering of candidates within r^2/65536 of each
     other can differ from the exact kernel.
     """
-    s = pl.program_id(0)
-    i = pl.program_id(1)
-    s0 = starts_ref[s, i] & ~127
-    nc = nch_ref[s, i]
-    r2 = r2_ref[s]
+    r2 = r2_ref[pl.program_id(0)]
     scale = 65535.0 / jnp.maximum(r2, 1e-12)
     inv_scale = jnp.maximum(r2, 1e-12) / 65535.0
     maxv = jnp.int32(0x7FFFFFFF)
 
     best = jnp.full((TILE, KN), maxv, jnp.int32)
 
-    def chunk(c, best):
-        base = pl.multiple_of(s0 + c * WIN, 128)
-        d1 = pltpu.make_async_copy(ti_hbm.at[s, :, pl.ds(base, WIN)],
-                                   wi_ref, sems.at[0])
-        d2a = pltpu.make_async_copy(tf_hbm.at[s, :, pl.ds(base, WIN)],
-                                    wf_ref, sems.at[1])
-        d1.start()
-        d2a.start()
-        d1.wait()
-        d2a.wait()
-        tkey = wi_ref[0:1, :]   # [1, W]
-        trow = wi_ref[1:2, :]
+    def chunk(slot, best):
+        tkey = wi_ref[slot, 0:1, :]   # [1, W]
+        trow = wi_ref[slot, 1:2, :]
+        wf_s = wf_ref[slot]
         cand = jnp.zeros((TILE, WIN), bool)
         for p in range(P):
             cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
         d2 = jnp.zeros((TILE, WIN), jnp.float32)
         for a in range(3):
-            diff = qx_ref[0, :, a:a + 1] - wf_ref[a:a + 1, :]
+            diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
             d2 = d2 + diff * diff
         qd = jnp.minimum(d2 * scale, 65535.0).astype(jnp.int32)
         packed = (qd << 15) | jnp.broadcast_to(trow, (TILE, WIN))
@@ -176,7 +219,8 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
             best = jnp.where(take & (iota == first), m[:, None], best)
         return best
 
-    best = jax.lax.fori_loop(0, nc, chunk, best)
+    best = _chunk_pipeline(chunk, best, starts_ref, nch_ref, ti_hbm,
+                           tf_hbm, wi_ref, wf_ref, sems)
 
     # emit ascending (packed order == distance order, row tie-break)
     for j in range(KN):
@@ -291,9 +335,9 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, WIN), jnp.int32),
-            pltpu.VMEM((4, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 4, WIN), jnp.int32),
+            pltpu.VMEM((4, 4, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
     rows, d2 = pl.pallas_call(
