@@ -211,6 +211,37 @@ class TestPairDataset:
 
 
 class TestLoader:
+    def test_multihost_shards_partition_global_batches(self):
+        """Every host enumerates the same seeded global order and keeps
+        its contiguous slice: shard batches concatenated across hosts
+        must reproduce the unsharded loader's batches exactly."""
+        class Ixs:
+            def __len__(self):
+                return 37
+
+            def __getitem__(self, i):
+                return {"i": np.array([i])}
+
+        def cat(samples):
+            return np.concatenate([s["i"] for s in samples])
+
+        full = DataLoader(Ixs(), batch_size=4, shuffle=True, drop_last=True,
+                          collate_fn=cat)
+        sh = [DataLoader(Ixs(), batch_size=4, shuffle=True, drop_last=True,
+                         collate_fn=cat, shard_id=h, num_shards=2)
+              for h in range(2)]
+        got_full = list(full)
+        got_sh = [list(s) for s in sh]
+        assert len(got_full) == len(got_sh[0]) == len(got_sh[1]) == 9
+        for b, (b0, b1) in zip(got_full, zip(*got_sh)):
+            np.testing.assert_array_equal(b, np.concatenate([b0, b1]))
+        # second epoch reshuffles, still consistently across hosts
+        e2_full, e2_0, e2_1 = list(full), list(sh[0]), list(sh[1])
+        assert not all(np.array_equal(a, b)
+                       for a, b in zip(got_full, e2_full))
+        for b, b0, b1 in zip(e2_full, e2_0, e2_1):
+            np.testing.assert_array_equal(b, np.concatenate([b0, b1]))
+
     def test_multiworker_order(self, synth_root):
         cfg = make_cfg(synth_root)
         patch_splits(ColocationKittiDataset, synth_root)
