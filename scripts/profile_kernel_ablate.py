@@ -14,6 +14,18 @@ gap:
   nodma     window start pinned to 0 (constant-address DMA each group)
   dot1      one-hot GEMM only, skip the @W GEMM (isolates the two MXUs)
 
+Backward (one-pass fused, pallas_conv._bwd_kernel structure) variants —
+run over the same map used as its own reverse (structurally identical
+cost shape):
+
+  bwd_full  gather GEMM + dX GEMM + dW GEMM per offset
+  bwd_nodw  skip the dW accumulate (isolates its marginal MXU+VMEM cost)
+  bwd_nodx  skip the dX GEMM
+  bwd_dwf32 dW accumulated through a bf16 (instead of f32) VMEM ref is
+            NOT offered — accuracy; instead this variant halves the dW
+            update rate (every 2nd offset) to expose VMEM-bandwidth
+            limits on the [K, C, Cout] accumulator
+
 Interpretation: if full ~= nohot, the VPU one-hot build is NOT the
 bottleneck; if full - nodot >> expected MXU time, the MXU passes stall
 on something else (DMA waits / fixed per-offset overhead).
@@ -156,6 +168,133 @@ def main():
                                            feats.dtype),
         )(starts, nch, qp, weights.astype(feats.dtype), tkeys, xp)
 
+    def make_bwd_kernel(variant, K, G, W, C):
+        """One-pass backward structure (pallas_conv._bwd_kernel): per
+        offset, gather-GEMM the grad window, dX GEMM, dW accumulate."""
+        def kern(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm,
+                 g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref,
+                 xwin2_ref, acc_ref, sems):
+            dt = xwin2_ref.dtype
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            kg = K // G
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+            @pl.when(i == 0)
+            def _():
+                dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+
+            xt_t = x_ref[:, :]
+
+            def dma_k(g, tile, slot):
+                base = pl.multiple_of(starts_ref[g, tile], 128)
+                return pltpu.make_async_copy(
+                    tk_hbm.at[:, pl.ds(base, W)], kwin_ref.at[slot],
+                    sems.at[slot, 0])
+
+            def dma_x(g, tile, slot):
+                base = pl.multiple_of(starts_ref[g, tile], 128)
+                return pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(base, W), :], xwin_ref.at[slot],
+                    sems.at[slot, 1])
+
+            def run_group(g, tk, win):
+                for j in range(g * kg, (g + 1) * kg):
+                    oh = (qk_ref[j, :][:, None] == tk).astype(dt)
+                    gg = jnp.dot(oh, win,
+                                 preferred_element_type=jnp.float32)
+                    ggd = gg.astype(dt)
+                    if variant != "bwd_nodx":
+                        acc_ref[:, :] += jnp.dot(
+                            ggd, w_ref[j],
+                            preferred_element_type=jnp.float32)
+                    if variant == "bwd_nodw":
+                        continue
+                    if variant == "bwd_dwhalf" and j % 2 == 1:
+                        continue
+                    dw_ref[j, :, :] += jnp.dot(
+                        xt_t, ggd, preferred_element_type=jnp.float32)
+
+            @pl.when((i == 0) & (nch_ref[0, 0] > 0))
+            def _():
+                dma_k(0, i, 0).start()
+                dma_x(0, i, 0).start()
+
+            for g in range(G):
+                slot = jax.lax.rem(i * G + g, 2)
+                if g + 1 < G:
+                    @pl.when(nch_ref[g + 1, i] > 0)
+                    def _(g=g, slot=slot):
+                        dma_k(g + 1, i, 1 - slot).start()
+                        dma_x(g + 1, i, 1 - slot).start()
+                else:
+                    nxt = jnp.minimum(i + 1, n - 1)
+
+                    @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+                    def _(slot=slot):
+                        dma_k(0, i + 1, 1 - slot).start()
+                        dma_x(0, i + 1, 1 - slot).start()
+
+                @pl.when(nch_ref[g, i] > 0)
+                def _(g=g, slot=slot):
+                    dma_k(g, i, slot).wait()
+                    dma_x(g, i, slot).wait()
+                    run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+
+            dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
+
+        return kern
+
+    def run_bwd_variant(variant, feats, g_up, weights, qkey, starts, nch,
+                        tkeys, win):
+        n_in, c = feats.shape
+        k, n_out = qkey.shape
+        grp, n_tiles = starts.shape
+        t_pad = tkeys.shape[1]
+        cout = g_up.shape[-1]
+        qp = pc._pad_qkey(qkey, n_tiles)
+        w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+        gp = pc._pad_feats(g_up.astype(feats.dtype), t_pad, cout)
+        xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
+            :c, :n_in].set(feats.T)
+
+        kern = make_bwd_kernel(variant, k, grp, win, c)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, cout, c), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, win), jnp.int32),
+                pltpu.VMEM((2, win, cout), feats.dtype),
+                pltpu.VMEM((8, win), jnp.int32),
+                pltpu.VMEM((win, cout), feats.dtype),
+                pltpu.VMEM((TILE, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles * TILE, c), feats.dtype),
+                jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
+            ),
+        )(starts, nch, qp, w_rev_t, xp, tkeys, gp)
+
     # bench-scale same-level geometry: 516k rows, k=27, G=3, WIN=384,
     # realistic windows from the production fused-map builder.
     from bench import synth_lidar
@@ -184,24 +323,40 @@ def main():
                       "tiles": int(fm.starts.shape[1])}), flush=True)
 
     variants = sys.argv[1:] or ["full", "nohot", "dot1", "nodot",
-                                "nodma"]
+                                "nodma", "bwd_full", "bwd_nodw",
+                                "bwd_nodx", "bwd_dwhalf"]
     for c in (128,):
         feats = jnp.asarray(
             rng.randn(n_rows, c).astype(np.float32)).astype(jnp.bfloat16)
         weights = jnp.asarray(rng.randn(27, c, c).astype(np.float32))
+        g_up = jnp.asarray(
+            rng.randn(n_rows, c).astype(np.float32)).astype(jnp.bfloat16)
         for variant in variants:
             if variant == "setup":  # CPU smoke: geometry build only
                 continue
-            f = jax.jit(functools.partial(run_variant, variant))
-            out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
-                    fm.tkeys, win)
-            _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
-            t0 = time.perf_counter()
-            iters = 20
-            for _ in range(iters):
+            if variant.startswith("bwd"):
+                f = jax.jit(functools.partial(run_bwd_variant, variant))
+                dx, dw = f(feats, g_up, weights, fm.qkey, fm.starts,
+                           fm.nch, fm.tkeys, win)
+                _ = float(jnp.sum(dx.astype(jnp.float32))
+                          + jnp.sum(dw))  # sync
+                t0 = time.perf_counter()
+                iters = 20
+                for _ in range(iters):
+                    dx, dw = f(feats, g_up, weights, fm.qkey, fm.starts,
+                               fm.nch, fm.tkeys, win)
+                _ = float(jnp.sum(dx.astype(jnp.float32)) + jnp.sum(dw))
+            else:
+                f = jax.jit(functools.partial(run_variant, variant))
                 out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
                         fm.tkeys, win)
-            _ = float(jnp.sum(out.astype(jnp.float32)))
+                _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
+                t0 = time.perf_counter()
+                iters = 20
+                for _ in range(iters):
+                    out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
+                            fm.tkeys, win)
+                _ = float(jnp.sum(out.astype(jnp.float32)))
             dt = (time.perf_counter() - t0) / iters
             print(json.dumps({"variant": variant, "c": c,
                               "ms": round(dt * 1e3, 2)}), flush=True)
