@@ -208,6 +208,12 @@ class PairComplementKittiDataset:
         if os.path.exists(filename) and not self.force_icp:
             m2 = np.load(filename)
         elif self.use_old_pose:
+            # xyz args may be lazy thunks (the per-pair complement path
+            # passes loaders so cache hits never touch the disk scans)
+            if callable(xyz_curr):
+                xyz_curr = xyz_curr()
+            if callable(xyz_next):
+                xyz_next = xyz_next()
             sub_curr = voxel_downsample(xyz_curr, self.icp_voxel_size)
             sub_next = voxel_downsample(xyz_next, self.icp_voxel_size)
             m = kitti_io.odometry_pair_transform(pos_curr, pos_next)
@@ -289,12 +295,15 @@ class PairComplementKittiDataset:
                         pos_cmpl[v][:3, :3] = pos_cmpl[v][:3, :3] @ rot
             if self.use_old_pose and self.use_old_complement:
                 # reference "old method" (:567-570): per-pair ICP of each
-                # complement against its center, same cache files
+                # complement against its center, same cache files; scans
+                # load lazily so cache hits skip the disk reads
                 lm0 = [self._get_icp(drive, t0, tt, xyz0,
-                                     self._xyz(drive, tt), pos0, pp)
+                                     lambda tt=tt: self._xyz(drive, tt),
+                                     pos0, pp)
                        for tt, pp in zip(cmpl0, pos_c0)]
                 lm1 = [self._get_icp(drive, t1, tt, xyz1,
-                                     self._xyz(drive, tt), pos1, pp)
+                                     lambda tt=tt: self._xyz(drive, tt),
+                                     pos1, pp)
                        for tt, pp in zip(cmpl1, pos_c1)]
             elif self.use_old_pose:
                 lm0 = self._multiway_icp(drive, t0, cmpl0, xyz0, pos0,

@@ -48,6 +48,32 @@ def _scan_from_world(world, pose, max_range=45.0, keep=0.9, rng=None):
     return local[m].astype(np.float32)
 
 
+def _gen_drive(rng, n_frames, step, max_range):
+    """Yield (pose [4,4], xyzr [N,4]) along a random smooth trajectory
+    through a synthetic world sized to cover it (shared by the KITTI and
+    nuScenes generators)."""
+    # world extent must cover the whole trajectory (n_frames * step),
+    # or late frames scan empty space and yield near-empty clouds
+    extent = max(120.0, n_frames * step + 60.0)
+    density = (extent / 120.0) ** 2
+    world = _make_world(rng, extent=extent, n_boxes=int(60 * density),
+                        ground_pts=int(4000 * density))
+    heading = rng.rand() * 2 * np.pi
+    pos = np.array([0.0, 0.0, 1.5])
+    for _ in range(n_frames):
+        heading += rng.normal(0, 0.05)
+        pos = pos + step * np.array(
+            [np.cos(heading), np.sin(heading), 0.0])
+        c, s = np.cos(heading), np.sin(heading)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = pos
+        scan = _scan_from_world(world, T, max_range, 0.95, rng)
+        xyzr = np.concatenate(
+            [scan, np.zeros((len(scan), 1), np.float32)], 1)
+        yield T, xyzr
+
+
 def generate_synthetic_kitti(root: str, n_drives=1, n_frames=60,
                              step=2.0, seed=0, max_range=45.0):
     """Write a synthetic dataset under `root` (the kitti_root). Layout:
@@ -60,32 +86,13 @@ def generate_synthetic_kitti(root: str, n_drives=1, n_frames=60,
     v2c = velo2cam_T().T  # column-vector velo->cam
 
     for drive in range(n_drives):
-        # world extent must cover the whole trajectory (n_frames * step),
-        # or late frames scan empty space and yield near-empty clouds
-        extent = max(120.0, n_frames * step + 60.0)
-        density = (extent / 120.0) ** 2
-        world = _make_world(rng, extent=extent,
-                            n_boxes=int(60 * density),
-                            ground_pts=int(4000 * density))
         seq = base / ("sequences/%02d" % drive)
         (seq / "velodyne").mkdir(parents=True, exist_ok=True)
 
         poses = []
-        heading = rng.rand() * 2 * np.pi
-        pos = np.array([0.0, 0.0, 1.5])
-        for i in range(n_frames):
-            heading += rng.normal(0, 0.05)
-            pos = pos + step * np.array(
-                [np.cos(heading), np.sin(heading), 0.0])
-            c, s = np.cos(heading), np.sin(heading)
-            T = np.eye(4)
-            T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-            T[:3, 3] = pos
+        for i, (T, xyzr) in enumerate(
+                _gen_drive(rng, n_frames, step, max_range)):
             poses.append(T)
-            scan = _scan_from_world(world, T, max_range, 0.95, rng)
-            # store xyzr like KITTI
-            xyzr = np.concatenate(
-                [scan, np.zeros((len(scan), 1), np.float32)], 1)
             xyzr.tofile(seq / "velodyne" / ("%06d.bin" % i))
 
         # SLAM-layout poses: poses.txt holds Tr @ T_velo @ Tr^-1 so that
@@ -123,28 +130,12 @@ def generate_synthetic_nuscenes(root: str, n_logs=1, n_frames=60,
     base = pathlib.Path(root) / "dataset"
     for li in range(n_logs):
         log = f"n000-synthetic-log-{li:02d}"
-        extent = max(120.0, n_frames * step + 60.0)
-        density = (extent / 120.0) ** 2
-        world = _make_world(rng, extent=extent,
-                            n_boxes=int(60 * density),
-                            ground_pts=int(4000 * density))
         seq = base / "sequences" / log
         (seq / "velodyne").mkdir(parents=True, exist_ok=True)
         poses = []
-        heading = rng.rand() * 2 * np.pi
-        pos = np.array([0.0, 0.0, 1.5])
-        for i in range(n_frames):
-            heading += rng.normal(0, 0.05)
-            pos = pos + step * np.array(
-                [np.cos(heading), np.sin(heading), 0.0])
-            c, s = np.cos(heading), np.sin(heading)
-            T = np.eye(4)
-            T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-            T[:3, 3] = pos
+        for i, (T, xyzr) in enumerate(
+                _gen_drive(rng, n_frames, step, max_range)):
             poses.append(T)
-            scan = _scan_from_world(world, T, max_range, 0.95, rng)
-            xyzr = np.concatenate(
-                [scan, np.zeros((len(scan), 1), np.float32)], 1)
             xyzr.tofile(seq / "velodyne" / ("%06d.bin" % i))
         np.save(seq / "poses.npy", np.stack(poses))
     return str(root)

@@ -18,13 +18,11 @@ Backward (one-pass fused, pallas_conv._bwd_kernel structure) variants —
 run over the same map used as its own reverse (structurally identical
 cost shape):
 
-  bwd_full  gather GEMM + dX GEMM + dW GEMM per offset
-  bwd_nodw  skip the dW accumulate (isolates its marginal MXU+VMEM cost)
-  bwd_nodx  skip the dX GEMM
-  bwd_dwf32 dW accumulated through a bf16 (instead of f32) VMEM ref is
-            NOT offered — accuracy; instead this variant halves the dW
-            update rate (every 2nd offset) to expose VMEM-bandwidth
-            limits on the [K, C, Cout] accumulator
+  bwd_full   gather GEMM + dX GEMM + dW GEMM per offset
+  bwd_nodw   skip the dW accumulate (isolates its marginal MXU+VMEM cost)
+  bwd_nodx   skip the dX GEMM
+  bwd_dwhalf dW updated on every 2nd offset only, exposing VMEM
+             read-modify-write limits on the [K, C, Cout] accumulator
 
 Interpretation: if full ~= nohot, the VPU one-hot build is NOT the
 bottleneck; if full - nodot >> expected MXU time, the MXU passes stall
@@ -35,6 +33,7 @@ Usage: python -u scripts/profile_kernel_ablate.py [variant ...]
 """
 import functools
 import json
+import os
 import sys
 import time
 
@@ -129,15 +128,13 @@ def main():
 
         return kern
 
-    def run_variant(variant, feats, weights, qkey, starts, nch, tkeys,
-                    win):
-        n_in, c = feats.shape
-        k, n_out = qkey.shape
+    def launch_fwd(variant, win, qp, wd, starts, nch, tkeys, xp):
+        """Timed region: the pallas_call only (prep hoisted by caller);
+        `variant`/`win` are bound statically before jax.jit."""
+        k = qp.shape[0]
         grp, n_tiles = starts.shape
-        t_pad = tkeys.shape[1]
-        cout = weights.shape[-1]
-        qp = pc._pad_qkey(qkey, n_tiles)
-        xp = pc._pad_feats(feats, t_pad, c)
+        c = xp.shape[1]
+        cout = wd.shape[-1]
 
         kern = make_kernel(variant, k, grp, win)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -155,9 +152,9 @@ def main():
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, 8, win), jnp.int32),
-                pltpu.VMEM((2, win, c), feats.dtype),
+                pltpu.VMEM((2, win, c), xp.dtype),
                 pltpu.VMEM((8, win), jnp.int32),
-                pltpu.VMEM((win, c), feats.dtype),
+                pltpu.VMEM((win, c), xp.dtype),
                 pltpu.VMEM((TILE, cout), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, 2)),
             ],
@@ -165,16 +162,16 @@ def main():
         return pl.pallas_call(
             kern, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout),
-                                           feats.dtype),
-        )(starts, nch, qp, weights.astype(feats.dtype), tkeys, xp)
+                                           xp.dtype),
+        )(starts, nch, qp, wd, tkeys, xp)
 
     def make_bwd_kernel(variant, K, G, W, C):
         """One-pass backward structure (pallas_conv._bwd_kernel): per
         offset, gather-GEMM the grad window, dX GEMM, dW accumulate."""
         def kern(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm,
-                 g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref,
-                 xwin2_ref, acc_ref, sems):
-            dt = xwin2_ref.dtype
+                 g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref,
+                 acc_ref, sems):
+            dt = xwin_ref.dtype
             i = pl.program_id(0)
             n = pl.num_programs(0)
             kg = K // G
@@ -245,18 +242,13 @@ def main():
 
         return kern
 
-    def run_bwd_variant(variant, feats, g_up, weights, qkey, starts, nch,
-                        tkeys, win):
-        n_in, c = feats.shape
-        k, n_out = qkey.shape
+    def launch_bwd(variant, win, qp, w_rev_t, xp, starts, nch, tkeys,
+                   gp):
+        """Timed region: the pallas_call only (prep hoisted by caller)."""
+        k = qp.shape[0]
         grp, n_tiles = starts.shape
-        t_pad = tkeys.shape[1]
-        cout = g_up.shape[-1]
-        qp = pc._pad_qkey(qkey, n_tiles)
-        w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
-        gp = pc._pad_feats(g_up.astype(feats.dtype), t_pad, cout)
-        xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
-            :c, :n_in].set(feats.T)
+        c = xp.shape[0]
+        cout = gp.shape[-1]
 
         kern = make_bwd_kernel(variant, k, grp, win, c)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -280,17 +272,15 @@ def main():
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 8, win), jnp.int32),
-                pltpu.VMEM((2, win, cout), feats.dtype),
-                pltpu.VMEM((8, win), jnp.int32),
-                pltpu.VMEM((win, cout), feats.dtype),
+                pltpu.VMEM((2, win, cout), xp.dtype),
                 pltpu.VMEM((TILE, c), jnp.float32),
-                pltpu.SemaphoreType.DMA((3, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
         return pl.pallas_call(
             kern, grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((n_tiles * TILE, c), feats.dtype),
+                jax.ShapeDtypeStruct((n_tiles * TILE, c), xp.dtype),
                 jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
             ),
         )(starts, nch, qp, w_rev_t, xp, tkeys, gp)
@@ -322,40 +312,67 @@ def main():
     print(json.dumps({"rows": n_rows, "k": 27, "win": win,
                       "tiles": int(fm.starts.shape[1])}), flush=True)
 
-    variants = sys.argv[1:] or ["full", "nohot", "dot1", "nodot",
-                                "nodma", "bwd_full", "bwd_nodw",
-                                "bwd_nodx", "bwd_dwhalf"]
+    FWD = ("full", "nohot", "dot1", "nodot", "nodma")
+    BWD = ("bwd_full", "bwd_nodw", "bwd_nodx", "bwd_dwhalf")
+    variants = sys.argv[1:] or list(FWD) + list(BWD)
+    bad = [v for v in variants if v not in FWD + BWD + ("setup",)]
+    if bad:
+        raise SystemExit(f"unknown variants {bad}; known: {FWD + BWD}")
     for c in (128,):
         feats = jnp.asarray(
             rng.randn(n_rows, c).astype(np.float32)).astype(jnp.bfloat16)
         weights = jnp.asarray(rng.randn(27, c, c).astype(np.float32))
         g_up = jnp.asarray(
             rng.randn(n_rows, c).astype(np.float32)).astype(jnp.bfloat16)
+        # prep ONCE, outside the timed jits (the production conv pays
+        # these per graph build, not per kernel launch)
+        n_tiles = fm.starts.shape[1]
+        t_pad = fm.tkeys.shape[1]
+        qp = pc._pad_qkey(fm.qkey, n_tiles)
+        xp_fwd = pc._pad_feats(feats, t_pad, c)
+        wd = weights.astype(feats.dtype)
+        w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+        gp = pc._pad_feats(g_up, t_pad, c)
+        xp_bwd = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
+            :c, :n_rows].set(feats.T)
+        trace_only = os.environ.get("GCL_ABLATE_TRACE_ONLY") == "1"
         for variant in variants:
             if variant == "setup":  # CPU smoke: geometry build only
                 continue
+            if trace_only:  # CPU: verify tracing/shape logic, no compile
+                if variant.startswith("bwd"):
+                    shapes = jax.eval_shape(
+                        functools.partial(launch_bwd, variant, win),
+                        qp, w_rev_t, xp_bwd, fm.starts, fm.nch,
+                        fm.tkeys, gp)
+                else:
+                    shapes = jax.eval_shape(
+                        functools.partial(launch_fwd, variant, win),
+                        qp, wd, fm.starts, fm.nch, fm.tkeys, xp_fwd)
+                print(json.dumps({"variant": variant,
+                                  "trace": "ok"}), flush=True)
+                continue
             if variant.startswith("bwd"):
-                f = jax.jit(functools.partial(run_bwd_variant, variant))
-                dx, dw = f(feats, g_up, weights, fm.qkey, fm.starts,
-                           fm.nch, fm.tkeys, win)
+                f = jax.jit(functools.partial(launch_bwd, variant, win))
+                args = (qp, w_rev_t, xp_bwd, fm.starts, fm.nch,
+                        fm.tkeys, gp)
+                dx, dw = f(*args)
                 _ = float(jnp.sum(dx.astype(jnp.float32))
                           + jnp.sum(dw))  # sync
                 t0 = time.perf_counter()
                 iters = 20
                 for _ in range(iters):
-                    dx, dw = f(feats, g_up, weights, fm.qkey, fm.starts,
-                               fm.nch, fm.tkeys, win)
+                    dx, dw = f(*args)
                 _ = float(jnp.sum(dx.astype(jnp.float32)) + jnp.sum(dw))
             else:
-                f = jax.jit(functools.partial(run_variant, variant))
-                out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
-                        fm.tkeys, win)
+                f = jax.jit(functools.partial(launch_fwd, variant, win))
+                args = (qp, wd, fm.starts, fm.nch, fm.tkeys, xp_fwd)
+                out = f(*args)
                 _ = float(jnp.sum(out.astype(jnp.float32)))  # sync
                 t0 = time.perf_counter()
                 iters = 20
                 for _ in range(iters):
-                    out = f(feats, weights, fm.qkey, fm.starts, fm.nch,
-                            fm.tkeys, win)
+                    out = f(*args)
                 _ = float(jnp.sum(out.astype(jnp.float32)))
             dt = (time.perf_counter() - t0) / iters
             print(json.dumps({"variant": variant, "c": c,
