@@ -732,7 +732,7 @@ def fused_conv_c1z_fwd(aux: jax.Array, weights: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((side * side * 32, cout0), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
@@ -844,8 +844,8 @@ def _conv_c1_fwd(feats, weights, qkey, starts, nch, tkeys, win, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, cout0), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -887,8 +887,8 @@ def _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys, win,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c0), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -928,8 +928,8 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((k, 1, cout0), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -990,8 +990,8 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
             q_spec,
             pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1059,8 +1059,8 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
             q_spec,
             pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -1151,8 +1151,8 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),

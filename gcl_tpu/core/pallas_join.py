@@ -183,7 +183,7 @@ def join_kmap(key_hi: jax.Array, key_lo: jax.Array, perm: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),

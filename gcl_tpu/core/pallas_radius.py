@@ -325,8 +325,8 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, 4), lambda s, i, *_: (s, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, TILE, kn), lambda s, i, *_: (s, i, 0),

@@ -145,8 +145,8 @@ def main():
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -261,8 +261,8 @@ def main():
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),
