@@ -120,22 +120,27 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
     group_loss = loss_fn_map[loss_kind]
 
     def forward_geometry(points, pmask, transforms, radius):
+        # named scopes prefix the XLA op names so device traces
+        # (scripts/profile_xprof.py) roll up by pipeline phase
         b, c, p, _ = points.shape
-        vox = voxelize_per_cloud(points.reshape(b * c, p, 3),
-                                 pmask.reshape(b * c, p),
-                                 step_cfg.voxel_size, step_cfg.nv_cap)
+        with jax.named_scope("voxelize"):
+            vox = voxelize_per_cloud(points.reshape(b * c, p, 3),
+                                     pmask.reshape(b * c, p),
+                                     step_cfg.voxel_size, step_cfg.nv_cap)
         vox_b = jax.tree_util.tree_map(
             lambda x: x.reshape((b, c) + x.shape[1:]), vox)
-        groups = batch_colocation_groups(vox_b, transforms,
-                                         step_cfg.voxel_size, radius,
-                                         k=step_cfg.group_k,
-                                         chunk=step_cfg.knn_chunk,
-                                         cell=step_cfg.search_cell,
-                                         cell_cap=step_cfg.cell_cap)
+        with jax.named_scope("groups"):
+            groups = batch_colocation_groups(vox_b, transforms,
+                                             step_cfg.voxel_size, radius,
+                                             k=step_cfg.group_k,
+                                             chunk=step_cfg.knn_chunk,
+                                             cell=step_cfg.search_cell,
+                                             cell_cap=step_cfg.cell_cap)
         flat = vox.flatten()
-        graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps, sorted_blocks=True,
-                            n_clouds=b * c)
+        with jax.named_scope("kernel_maps"):
+            graph = build_graph(flat.coords, flat.mask, conv_specs,
+                                step_cfg.level_caps, sorted_blocks=True,
+                                n_clouds=b * c)
         return flat, graph, groups, vox_b, c
 
     def grad_fn(params, batch_stats, rng, points, pmask, transforms,
@@ -168,13 +173,16 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
                 feats = _jitter_feats(feats, flat.mask, k_jit,
                                       step_cfg.jitter_sigma,
                                       step_cfg.jitter_p, center_rows)
-            f_out, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                graph, feats.astype(step_cfg.compute_dtype), train=True,
-                mutable=["batch_stats"])
-            out = group_loss(f_out.astype(jnp.float32), flat.mask, groups,
-                             pos_pairs, ppmask, k_loss, max_pos_cluster,
-                             max_hn_samples, loss_cfg)
+            with jax.named_scope("unet"):
+                f_out, mut = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    graph, feats.astype(step_cfg.compute_dtype),
+                    train=True, mutable=["batch_stats"])
+            with jax.named_scope("gcl_loss"):
+                out = group_loss(f_out.astype(jnp.float32), flat.mask,
+                                 groups, pos_pairs, ppmask, k_loss,
+                                 max_pos_cluster, max_hn_samples,
+                                 loss_cfg)
             total = (pos_weight * out.pos_loss
                      + finest_weight * out.finest_loss
                      + neg_weight * out.neg_loss)

@@ -121,12 +121,23 @@ def report(outdir: str, top: int = 40) -> None:
                   f"util={total / max(span, 1):.2f}")
             agg = collections.defaultdict(lambda: [0, 0])
             cat = collections.defaultdict(int)
+            scope = collections.defaultdict(int)
             for e in line.events:
                 agg[e.name][0] += e.duration_ps
                 agg[e.name][1] += 1
                 c = e.stats.get("hlo_category")
                 if isinstance(c, str):
                     cat[c] += e.duration_ps
+                # steps.py wraps pipeline phases in jax.named_scope, which
+                # prefixes op names ("voxelize/sort.1") — roll up by the
+                # first path segment
+                seg = e.name.split("/", 1)[0] if "/" in e.name else "(none)"
+                scope[seg] += e.duration_ps
+            if len(scope) > 1:
+                print("   named scopes:")
+                for name, ps in sorted(scope.items(),
+                                       key=lambda kv: -kv[1])[:15]:
+                    print(f"     {_fmt_ms(ps):>10}ms  {name}")
             if cat:
                 print("   categories:")
                 for name, ps in sorted(cat.items(),
