@@ -248,12 +248,14 @@ def make_pair_grad_fn(model, conv_specs, step_cfg: StepConfig,
 
     def side_forward(params, batch_stats, points, pmask, key, train=True):
         b, p, _ = points.shape
-        vox = voxelize_per_cloud(points, pmask, step_cfg.voxel_size,
-                                 step_cfg.nv_cap)
+        with jax.named_scope("voxelize"):
+            vox = voxelize_per_cloud(points, pmask, step_cfg.voxel_size,
+                                     step_cfg.nv_cap)
         flat = vox.flatten()
-        graph = build_graph(flat.coords, flat.mask, conv_specs,
-                            step_cfg.level_caps, sorted_blocks=True,
-                            n_clouds=b)
+        with jax.named_scope("kernel_maps"):
+            graph = build_graph(flat.coords, flat.mask, conv_specs,
+                                step_cfg.level_caps, sorted_blocks=True,
+                                n_clouds=b)
         feats = flat.feats
         if train and jitter:
             # the reference composes the Jitter feature-noise transform
@@ -262,9 +264,11 @@ def make_pair_grad_fn(model, conv_specs, step_cfg: StepConfig,
             feats = _jitter_feats(feats, flat.mask, key,
                                   step_cfg.jitter_sigma,
                                   step_cfg.jitter_p)
-        f, mut = model.apply({"params": params, "batch_stats": batch_stats},
-                             graph, feats.astype(step_cfg.compute_dtype),
-                             train=train, mutable=["batch_stats"])
+        with jax.named_scope("unet"):
+            f, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                graph, feats.astype(step_cfg.compute_dtype),
+                train=train, mutable=["batch_stats"])
         return vox, flat, f.astype(jnp.float32), mut["batch_stats"]
 
     def batch_correspondences(vox0, vox1, trans, radius):
