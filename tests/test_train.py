@@ -97,6 +97,31 @@ class TestGCLTrainer:
         assert trainer2.start_epoch == 1
 
 
+class TestProfileDir:
+    def test_profile_dir_writes_parseable_trace(self, synth_env, tmp_path):
+        """--profile_dir wraps the first epoch in jax.profiler.trace; the
+        emitted .xplane.pb must decode with the bundled reader
+        (gcl_tpu.utils.xplane — the profiling subsystem end to end)."""
+        import glob
+
+        prof = str(tmp_path / "prof")
+        cfg = tiny_config(synth_env, tmp_path / "runp",
+                          trainer="FinestContrastiveLossTrainer",
+                          finest_weight=1.0, profile_dir=prof)
+        tl, _ = small_loaders(cfg)
+        tl.dataset.files = tl.dataset.files[:2]
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        trainer.train()
+        pbs = glob.glob(os.path.join(prof, "plugins", "profile", "*",
+                                     "*.xplane.pb"))
+        assert pbs, f"no .xplane.pb under {prof}"
+        from gcl_tpu.utils.xplane import parse_xspace
+        planes = parse_xspace(pbs[0])
+        n_events = sum(len(line.events) for p in planes
+                       for line in p.lines)
+        assert n_events > 0
+
+
 class TestDistErrFlag:
     def test_calc_distance_err_dumps_and_aborts(self, synth_env,
                                                 tmp_path):
