@@ -365,22 +365,6 @@ def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
             nch.reshape(grp, n_tiles).astype(jnp.int32))
 
 
-def _fused_windows_packed(qk: jax.Array, in_level: LevelCoords,
-                          upk_sorted: jax.Array, t_pad: int, win: int):
-    """Single-map window builder (tests / ad-hoc callers); the graph
-    build batches every map's binary search per level instead
-    (_build_fused_maps)."""
-    from .coords import searchsorted1
-
-    lo, hi, grp_any, grp, n_tiles = _window_bounds(qk)
-    n_valid = jnp.sum(in_level.mask.astype(jnp.int32))
-    pos = searchsorted1(upk_sorted, jnp.concatenate([lo, hi]))
-    pos_lo, pos_hi = pos[:lo.shape[0]], pos[lo.shape[0]:]
-    return _finalize_windows(pos_lo, pos_hi, hi, grp_any, in_level,
-                             upk_sorted, n_valid, t_pad, win, grp,
-                             n_tiles)
-
-
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     """FusedMap per unique conv geometry (qkey + windows + level keys)."""
     from .coords import pack_keys, pack_query_keys, searchsorted1

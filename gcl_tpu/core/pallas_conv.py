@@ -93,17 +93,27 @@ def num_offset_groups(k: int) -> int:
 # GEMM width against synchronous extra-chunk frequency.
 WIN_DOWN = int(os.environ.get("GCL_CONV_WIN_DOWN", str(2 * WIN)))
 
+# Window starts are 128-aligned and extra chunks DMA at start + c*win;
+# a width that is not a multiple of 128 would violate the kernels'
+# pl.multiple_of hints and misalign every chunk after the first.
+assert WIN % 128 == 0, f"GCL_CONV_WIN must be a multiple of 128: {WIN}"
+assert WIN_DOWN % 128 == 0, \
+    f"GCL_CONV_WIN_DOWN must be a multiple of 128: {WIN_DOWN}"
+
 
 def win_for_map(in_stride: int, out_stride: int) -> int:
     """Window width for a map reading `in_stride` from `out_stride`
     outputs: downsample maps see ~2x rows per output tile; upsample
     maps see ~0.5x (span ~= TILE/2 + 128 alignment slack fits in 256,
     measured nch stays ~1.0 at bench scale), and the gather GEMM cost
-    scales directly with the window width."""
+    scales directly with the window width. Widths are rounded up to a
+    multiple of 128: window starts are 128-aligned and extra chunks DMA
+    at start + c*win, so a non-multiple width would break the
+    pl.multiple_of alignment hint in the window gather."""
     if in_stride < out_stride:
         return WIN_DOWN
     if in_stride > out_stride:
-        return 2 * WIN // 3
+        return max(128, _cdiv(2 * WIN // 3, 128) * 128)
     return WIN
 
 
@@ -125,7 +135,7 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
     reads stay inside the padded input (length >= n_in_pad).
 
     The fused production path computes windows from coordinate keys
-    instead (kernel_maps._fused_windows); this is the adapter used when
+    instead (kernel_maps._build_fused_maps); this is the adapter used when
     only an explicit table exists (tests, ad-hoc gathers).
     """
     k, n_out_pad = idx.shape

@@ -202,7 +202,10 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
         for a in range(3):
             diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
             d2 = d2 + diff * diff
-        qd = jnp.minimum(d2 * scale, 65535.0).astype(jnp.int32)
+        # clamp to 65534, not 65535: (65535 << 15) | 0x7FFF would equal
+        # the maxv invalid sentinel, silently dropping a genuine
+        # boundary candidate stored at window row 0x7FFF
+        qd = jnp.minimum(d2 * scale, 65534.0).astype(jnp.int32)
         packed = (qd << 15) | jnp.broadcast_to(trow, (TILE, WIN))
         pm = jnp.where(cand & (d2 <= r2), packed, maxv)
         for _ in range(KN):

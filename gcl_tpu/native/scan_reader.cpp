@@ -96,14 +96,23 @@ struct Reader {
     if (table.count(p)) return;  // already queued / cached
     table.emplace(p, new Entry());
     queue.push_back(p);
-    // evict oldest completed entries beyond capacity
-    while (lru.size() + queue.size() > cache_cap && !lru.empty()) {
-      auto it = table.find(lru.front());
-      if (it != table.end() && it->second->state.load() != 0) {
-        delete it->second;
-        table.erase(it);
-      }
+    lru.push_back(p);  // insertion order over every live entry
+    // Evict oldest completed entries beyond capacity. Pending entries
+    // (queued or mid-read — a worker may hold a raw pointer) are
+    // requeued; names already claimed by fetch() just pop. Bounding the
+    // scan keeps submit O(small) even when everything is pending.
+    size_t scan = lru.size();
+    while (table.size() > cache_cap && scan-- > 0 && !lru.empty()) {
+      std::string victim = std::move(lru.front());
       lru.pop_front();
+      auto it = table.find(victim);
+      if (it == table.end()) continue;      // fetched and released
+      if (it->second->state.load() == 0) {  // pending: keep
+        lru.push_back(std::move(victim));
+        continue;
+      }
+      delete it->second;
+      table.erase(it);
     }
     cv_work.notify_one();
   }
@@ -124,8 +133,7 @@ struct Reader {
         table.erase(p);
         return -2;
       }
-      if (out == nullptr) {  // size query, keep entry
-        lru.push_back(p);
+      if (out == nullptr) {  // size query, keep entry (already in lru)
         return static_cast<long>(e->data.size());
       }
       table.erase(p);

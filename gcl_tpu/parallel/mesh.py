@@ -42,6 +42,26 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def host_to_global(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Assemble each host's local batch slice into a global device array
+    sharded by sample over the mesh.
+
+    Multi-host: every process passes its own contiguous slice of the
+    global batch (the loader's shard_id/num_shards slicing,
+    data/loader.py) and jax.make_array_from_process_local_data glues
+    them into one addressable-from-everywhere global array — a
+    shard_map'd step over a multi-host mesh cannot consume plain
+    process-local numpy arrays. Single-process: a device_put with the
+    same sharding (also saves the jit-time default-device transfer).
+    """
+    sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in arrays)
+
+
 def make_parallel_train_step(grad_fn: Callable, step_cfg, mesh: Mesh,
                              axis_name: str = "data"
                              ) -> Tuple[Callable, Callable]:

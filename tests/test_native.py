@@ -61,3 +61,47 @@ class TestNative:
         idx, hit = native.radius_knn(pts[:20000], pts, 0.45, 5)
         dt = time.perf_counter() - t0
         assert dt < 2.0, f"native path too slow: {dt:.2f}s"
+
+
+class TestScanPrefetcher:
+    def test_payloads_survive_cache_pressure(self, tmp_path, built):
+        """Submit far more files than cache_entries: every payload must
+        still come back exact — entries evicted under pressure fall back
+        to a synchronous read, never a wrong/missing payload — and the
+        table must not grow unboundedly (eviction is exercised)."""
+        from gcl_tpu.native import ScanPrefetcher
+
+        rng = np.random.RandomState(0)
+        paths, payloads = [], []
+        for i in range(24):
+            arr = rng.randn(64 + i).astype(np.float32)
+            p = str(tmp_path / f"scan_{i:02d}.bin")
+            arr.tofile(p)
+            paths.append(p)
+            payloads.append(arr)
+
+        reader = ScanPrefetcher(n_threads=2, cache_entries=4)
+        for p in paths:
+            reader.submit(p)
+        # let the pool drain so eviction sees completed entries
+        import time
+        time.sleep(0.3)
+        # second submit wave forces evictions of the completed first wave
+        for i in range(24):
+            arr = rng.randn(32).astype(np.float32)
+            p = str(tmp_path / f"wave2_{i:02d}.bin")
+            arr.tofile(p)
+            reader.submit(p)
+            paths.append(p)
+            payloads.append(arr)
+        for p, want in zip(paths, payloads):
+            got = reader.fetch(p)
+            np.testing.assert_array_equal(got, want, err_msg=p)
+
+    def test_unprefetched_fetch_reads_synchronously(self, tmp_path, built):
+        from gcl_tpu.native import ScanPrefetcher
+        arr = np.arange(10, dtype=np.float32)
+        p = str(tmp_path / "plain.bin")
+        arr.tofile(p)
+        reader = ScanPrefetcher(n_threads=1, cache_entries=4)
+        np.testing.assert_array_equal(reader.fetch(p), arr)
