@@ -67,6 +67,8 @@ def main():
                      level_caps=default_level_caps(n_flat, strides, 0.55),
                      knn_chunk=1024, pos_pair_cap=1 << 21,
                      search_cell=1.08,  # 2 * (0.45 search radius) * 1.2
+                     jitter_mode=os.environ.get("GCL_JITTER_MODE",
+                                                "input"),
                      compute_dtype=jnp.bfloat16)
 
     tx, step = make_gcl_train_step(

@@ -208,6 +208,14 @@ tpu_arg.add_argument("--distributed_init", type=str2bool, default=False,
                           "vars; each host feeds its own batch shard)")
 tpu_arg.add_argument("--jitter_feats", type=str2bool, default=True,
                      help="train-phase feature jitter (lib/transforms.py)")
+tpu_arg.add_argument("--jitter_mode", type=str, default="input",
+                     choices=["input", "c1z"],
+                     help="'input' = reference-exact input-feature "
+                          "jitter (conv1 reads features, presence "
+                          "fast path off in training); 'c1z' = "
+                          "distribution-matched noise injected after "
+                          "the presence-bitmask conv1 (keeps the fast "
+                          "path; see sparse_conv_c1z_jittered)")
 
 
 class Config(dict):

@@ -244,11 +244,14 @@ _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _sparse_conv_c1z_core(win, out_dtype, weights, aux, starts, nch,
                           tkeys):
+    """(out, sbits) of the occupancy conv. sbits (int32[N, 8] presence
+    bitmasks, non-differentiable) are exposed so callers can derive
+    presence-masked quantities (sparse_conv_c1z_jittered) without a
+    second kernel pass."""
     from .pallas_conv import fused_conv_c1z_fwd, pallas_available
     interp = not pallas_available() and FORCE_INTERPRET
-    out, _ = fused_conv_c1z_fwd(aux, weights, starts, nch, tkeys, win,
-                                out_dtype, interpret=interp)
-    return out
+    return fused_conv_c1z_fwd(aux, weights, starts, nch, tkeys, win,
+                              out_dtype, interpret=interp)
 
 
 def _sparse_conv_c1z_fwd(win, out_dtype, weights, aux, starts, nch,
@@ -257,15 +260,16 @@ def _sparse_conv_c1z_fwd(win, out_dtype, weights, aux, starts, nch,
     interp = not pallas_available() and FORCE_INTERPRET
     out, sbits = fused_conv_c1z_fwd(aux, weights, starts, nch, tkeys,
                                     win, out_dtype, interpret=interp)
-    return out, (sbits, weights)
+    return (out, sbits), (sbits, weights)
 
 
 def _sparse_conv_c1z_bwd(win, out_dtype, res, g):
     sbits, weights = res
+    g_out, _ = g  # integer sbits output carries no cotangent
     from .pallas_conv import fused_conv_c1z_dw, pallas_available
     interp = not pallas_available() and FORCE_INTERPRET
-    dw = fused_conv_c1z_dw(sbits, g.astype(out_dtype), weights.shape[0],
-                           interpret=interp)
+    dw = fused_conv_c1z_dw(sbits, g_out.astype(out_dtype),
+                           weights.shape[0], interpret=interp)
     return (dw.astype(weights.dtype), None, None, None, None)
 
 
@@ -282,8 +286,62 @@ def sparse_conv_c1z(weights: jax.Array, fm, out_dtype) -> jax.Array:
     same-level stride-1 odd dilation-1 maps). The backward reuses the
     forward's presence bitmasks and runs with no window DMA at all.
     """
-    return _sparse_conv_c1z_core(fm.win, jnp.dtype(out_dtype), weights,
-                                 fm.c1z, fm.starts, fm.nch, fm.tkeys)
+    out, _ = _sparse_conv_c1z_core(fm.win, jnp.dtype(out_dtype), weights,
+                                   fm.c1z, fm.starts, fm.nch, fm.tkeys)
+    return out
+
+
+def c1z_unpack_bits(sbits: jax.Array, kcube: int) -> jax.Array:
+    """Presence bit per (output row, kernel offset) from the c1z forward's
+    packed bitmasks: offset k = (dx, dy, dz) row-major (kernel_offsets
+    order, matching the weight rows) lives at bit dy*side + dz of
+    sbits[:, dx]. Returns int32[N, kcube] in {0, 1}."""
+    side = round(kcube ** (1 / 3))
+    s2 = side * side
+    karr = jnp.arange(kcube, dtype=jnp.int32)
+    cols = jnp.take(sbits, karr // s2, axis=1)          # [N, kcube]
+    return (cols >> (karr % s2)[None, :]) & 1
+
+
+def sparse_conv_c1z_jittered(weights: jax.Array, fm, out_dtype,
+                             key: jax.Array, sigma: float, p: float,
+                             row_sel=None) -> jax.Array:
+    """Occupancy conv + distribution-matched train-time feature jitter
+    on the presence-kernel fast path.
+
+    The reference jitters the all-ones INPUT features (N(0, sigma) at
+    gate probability p, lib/transforms.py:24-34); through the linear
+    conv that adds sum_{k present(i)} eps_{j_k} W[k] to output i. The
+    presence kernels never materialize neighbor identity j_k, so the
+    exact term is unreachable without paying the full gather the c1z
+    path exists to avoid. This injects fresh iid eps_{ik} per (output,
+    offset) instead, masked by the forward's presence bitmasks: the
+    per-output mean (zero) and covariance (sigma^2 sum_present
+    W[k] W[k]^T) match the reference exactly; only the cross-output
+    correlation (nearby outputs sharing one input voxel's noise draw)
+    is dropped. Selected by StepConfig.jitter_mode == 'c1z';
+    jitter_mode == 'input' keeps the reference-exact path (input jitter
+    + feature-reading conv).
+
+    row_sel: optional float[N] mask restricting the noise to selected
+    rows (GCL jitters the center cloud only — for this same-level conv,
+    an output's inputs are its own cloud's rows, so masking outputs by
+    the input-row mask is exact).
+    """
+    out, sbits = _sparse_conv_c1z_core(fm.win, jnp.dtype(out_dtype),
+                                       weights, fm.c1z, fm.starts,
+                                       fm.nch, fm.tkeys)
+    kcube = weights.shape[0]
+    k_gate, k_eps = jax.random.split(key)
+    on = (jax.random.uniform(k_gate) < p).astype(jnp.float32)
+    bits = c1z_unpack_bits(jax.lax.stop_gradient(sbits), kcube)
+    eps = jax.random.normal(k_eps, bits.shape, jnp.float32) * sigma
+    a = eps * bits.astype(jnp.float32) * on
+    if row_sel is not None:
+        a = a * row_sel[:, None]
+    noise = jnp.dot(a.astype(out.dtype),
+                    weights[:, 0, :].astype(out.dtype))
+    return out + noise
 
 
 def c1z_available(fm, in_ch: int, occupancy: bool) -> bool:

@@ -15,7 +15,8 @@ from flax import linen as nn
 from ..core.kernel_maps import ConvSpec
 from ..core.sparse_ops import (c1z_available, masked_instance_mean_var,
                                masked_mean_var, sparse_conv,
-                               sparse_conv_c1z, sparse_conv_fused)
+                               sparse_conv_c1z, sparse_conv_c1z_jittered,
+                               sparse_conv_fused)
 from ..core.types import SparseGraph, map_key
 
 # torch kaiming_uniform(a=sqrt(5)) over fan_in = K^3 * Cin — the default
@@ -39,8 +40,42 @@ class SparseConv(nn.Module):
     occupancy: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, graph: SparseGraph) -> jax.Array:
+    def __call__(self, x: jax.Array, graph: SparseGraph,
+                 ones_exact: bool = True,
+                 c1z_jitter=None) -> jax.Array:
+        """``ones_exact``: static flag, True iff ``x`` is exactly the
+        all-ones occupancy features. Train-time feature jitter
+        (lib/transforms.py:24-34) breaks the c1z contract — the presence
+        kernels never read ``x``, so routing them under jitter would
+        silently drop the noise; the caller passes False then and the
+        conv falls back to the feature-reading fused path.
+
+        ``c1z_jitter``: optional (sigma, p, row_sel) — StepConfig
+        jitter_mode='c1z'. The conv owns the jitter: on the presence
+        fast path it injects the distribution-matched output-space
+        noise (sparse_ops.sparse_conv_c1z_jittered); on any fallback
+        route it applies the reference-exact input jitter to ``x``
+        first. Requires an apply-time 'jitter' RNG stream."""
+        if c1z_jitter is not None:
+            assert ones_exact, \
+                "c1z_jitter implies the raw all-ones input (the conv " \
+                "applies the jitter itself)"
+
+        def input_jitter(x):
+            # reference-exact input jitter for routes that read features
+            sigma, p, row_sel = c1z_jitter
+            k1, k2 = jax.random.split(self.make_rng("jitter"))
+            gate = (jax.random.uniform(k1) < p).astype(x.dtype)
+            lv_mask = graph.levels[self.spec.in_stride].mask
+            noise = (jax.random.normal(k2, x.shape, jnp.float32)
+                     * sigma * lv_mask[:, None])
+            if row_sel is not None:
+                noise = noise * row_sel[:, None]
+            return x + gate * noise.astype(x.dtype)
+
         if self.spec.is_identity_map:
+            if c1z_jitter is not None:
+                x = input_jitter(x)
             w = self.param("kernel", conv_init, (self.in_ch, self.out_ch))
             y = jnp.dot(x, w.astype(x.dtype),
                         precision=(jax.lax.Precision.HIGHEST
@@ -56,7 +91,16 @@ class SparseConv(nn.Module):
             # build_graph only builds reverse-direction twins (needed by
             # the scatter-free backward) for odd kernels; even-kernel
             # geometries must use the explicit kmap path.
-            if c1z_available(fm, self.in_ch, self.occupancy):
+            on_c1z = ones_exact and c1z_available(fm, self.in_ch,
+                                                  self.occupancy)
+            if c1z_jitter is not None and not on_c1z:
+                x = input_jitter(x)
+            if on_c1z and c1z_jitter is not None:
+                sigma, p, row_sel = c1z_jitter
+                y = sparse_conv_c1z_jittered(w, fm, x.dtype,
+                                             self.make_rng("jitter"),
+                                             sigma, p, row_sel)
+            elif on_c1z:
                 y = sparse_conv_c1z(w, fm, x.dtype)
             elif graph.fused is not None and rk in graph.fused:
                 y = sparse_conv_fused(x, w, graph.fused[self.spec.key],

@@ -29,10 +29,15 @@ class ProjectionHeadConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph: SparseGraph, feats: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, ones_exact: bool = True,
+                 conv1_jitter=None) -> jax.Array:
+        # no occupancy conv here (the head reads real features), so
+        # ones_exact never routes to c1z; a conv1_jitter spec falls
+        # through to SparseConv's reference-exact input jitter.
         return SparseConv(self.in_channels, self.out_channels,
                           ConvSpec("conv1", 1, 1, self.conv1_kernel_size, 1),
-                          name="conv1")(feats, graph)
+                          name="conv1")(feats, graph, ones_exact,
+                                        conv1_jitter)
 
 
 class ProjectionHeadMLP(nn.Module):
@@ -54,12 +59,17 @@ class ProjectionHeadMLP(nn.Module):
 
     @nn.compact
     def __call__(self, graph: SparseGraph, feats: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, ones_exact: bool = True,
+                 conv1_jitter=None) -> jax.Array:
+        # no occupancy conv here (the head reads real features), so
+        # ones_exact never routes to c1z; a conv1_jitter spec falls
+        # through to SparseConv's reference-exact input jitter.
         lv = graph.levels[1]
         mask, bidx = lv.mask, lv.coords[:, 0]
         c1 = ConvSpec("conv1", 1, 1, self.conv1_kernel_size, 1)
         x = SparseConv(self.in_channels, self.CHANNEL, c1,
-                       name="conv1")(feats, graph)
+                       name="conv1")(feats, graph, ones_exact,
+                                     conv1_jitter)
         x = BasicBlock(self.CHANNEL, self.CHANNEL, 1, self.BLOCK_NORM_TYPE,
                        bn_momentum=self.bn_momentum,
                        num_items=self.num_items, name="norm1")(

@@ -94,7 +94,14 @@ class ResUNet2(nn.Module):
 
     @nn.compact
     def __call__(self, graph: SparseGraph, feats: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, ones_exact: bool = True,
+                 conv1_jitter=None) -> jax.Array:
+        """``ones_exact``: static; True iff ``feats`` is exactly the
+        all-ones occupancy input (False under train-time jitter). Gates
+        the presence-bitmask conv1 fast path, which never reads feats.
+        ``conv1_jitter``: optional (sigma, p, row_sel) — jitter owned by
+        conv1 itself (StepConfig jitter_mode='c1z', see
+        models.common.SparseConv)."""
         CH, TR = self.CHANNELS, self.TR_CHANNELS
         es = self.encoder_strides()
         lv = {s: graph.levels[s] for s in set((1,) + es)}
@@ -108,7 +115,8 @@ class ResUNet2(nn.Module):
                             ConvSpec("conv1", 1, 1, self.conv1_kernel_size,
                                      self.DILATIONS[0]),
                             occupancy=True,
-                            name="conv1")(feats, graph)
+                            name="conv1")(feats, graph, ones_exact,
+                                          conv1_jitter)
         out_s1 = norm_at(out_s1, CH[1], 1, "norm1")
         if self.KERNEL_SIZES[0] is not None:
             out_s1 = nn.relu(out_s1)

@@ -50,7 +50,8 @@ class _SimpleUNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, graph: SparseGraph, feats: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, ones_exact: bool = True,
+                 conv1_jitter=None) -> jax.Array:
         CH, TR, D = self.CHANNELS, self.TR_CHANNELS, self.DEPTH
         es = self.encoder_strides()
         mb = {s: (graph.levels[s].mask, graph.levels[s].coords[:, 0])
@@ -65,7 +66,8 @@ class _SimpleUNetBase(nn.Module):
         out = SparseConv(self.in_channels, CH[1],
                          ConvSpec("conv1", 1, 1, self.conv1_kernel_size, 1),
                          occupancy=True,
-                         name="conv1")(feats, graph)
+                         name="conv1")(feats, graph, ones_exact,
+                                       conv1_jitter)
         out = norm(out, CH[1], 1, "norm1")
         skips[0] = out
         out = nn.relu(out)

@@ -69,6 +69,14 @@ class StepConfig:
     weight_decay: float = 1e-4
     jitter_sigma: float = 0.01
     jitter_p: float = 0.95
+    # 'input': reference-exact feature jitter applied to the conv1 input
+    # (lib/transforms.py:24-34); conv1 must then read its features, so
+    # the presence-bitmask fast path is off during training. 'c1z':
+    # conv1 keeps the presence kernels and injects distribution-matched
+    # per-(output, offset) iid noise instead (exact per-output mean and
+    # covariance, cross-output correlation dropped — see
+    # sparse_ops.sparse_conv_c1z_jittered).
+    jitter_mode: str = "input"
     compute_dtype: Any = jnp.float32
 
 
@@ -167,17 +175,28 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         ppmask = None
         center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
 
+        c1z_mode = jitter and step_cfg.jitter_mode == "c1z"
+
         def loss(params):
             feats = flat.feats
-            if jitter:
+            if jitter and not c1z_mode:
                 feats = _jitter_feats(feats, flat.mask, k_jit,
                                       step_cfg.jitter_sigma,
                                       step_cfg.jitter_p, center_rows)
+            apply_kw = {}
+            if c1z_mode:
+                # conv1 owns the jitter (center-cloud rows only,
+                # reference lib/colocation_data_loader.py:414-415)
+                apply_kw = dict(
+                    conv1_jitter=(step_cfg.jitter_sigma,
+                                  step_cfg.jitter_p, center_rows),
+                    rngs={"jitter": k_jit})
             with jax.named_scope("unet"):
                 f_out, mut = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     graph, feats.astype(step_cfg.compute_dtype),
-                    train=True, mutable=["batch_stats"])
+                    train=True, ones_exact=not (jitter and not c1z_mode),
+                    mutable=["batch_stats"], **apply_kw)
             with jax.named_scope("gcl_loss"):
                 out = group_loss(f_out.astype(jnp.float32), flat.mask,
                                  groups, pos_pairs, ppmask, k_loss,
@@ -257,18 +276,26 @@ def make_pair_grad_fn(model, conv_specs, step_cfg: StepConfig,
                                 step_cfg.level_caps, sorted_blocks=True,
                                 n_clouds=b)
         feats = flat.feats
-        if train and jitter:
+        jit_on = train and jitter
+        c1z_mode = jit_on and step_cfg.jitter_mode == "c1z"
+        if jit_on and not c1z_mode:
             # the reference composes the Jitter feature-noise transform
             # into train-phase pair loaders too
             # (lib/colocation_data_loader.py:742-747, lib/transforms.py)
             feats = _jitter_feats(feats, flat.mask, key,
                                   step_cfg.jitter_sigma,
                                   step_cfg.jitter_p)
+        apply_kw = {}
+        if c1z_mode:
+            apply_kw = dict(conv1_jitter=(step_cfg.jitter_sigma,
+                                          step_cfg.jitter_p, None),
+                            rngs={"jitter": key})
         with jax.named_scope("unet"):
             f, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 graph, feats.astype(step_cfg.compute_dtype),
-                train=train, mutable=["batch_stats"])
+                train=train, ones_exact=not (jit_on and not c1z_mode),
+                mutable=["batch_stats"], **apply_kw)
         return vox, flat, f.astype(jnp.float32), mut["batch_stats"]
 
     def batch_correspondences(vox0, vox1, trans, radius):

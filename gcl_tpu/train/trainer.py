@@ -116,6 +116,7 @@ class AlignmentTrainer:
             member_r_cap=getattr(config, "member_r_cap", 32),
             momentum=config.momentum,
             weight_decay=config.weight_decay,
+            jitter_mode=getattr(config, "jitter_mode", "input"),
             compute_dtype=(jnp.bfloat16
                            if config.compute_dtype == "bfloat16"
                            else jnp.float32),
@@ -215,6 +216,16 @@ class AlignmentTrainer:
         """ExponentialLR: lr * gamma^(epoch-1) (scheduler stepped once per
         epoch, reference lib/trainer.py:79,137)."""
         return self.config.lr * self.config.exp_gamma ** (epoch - 1)
+
+    def _feed(self, *arrays):
+        """Host batch arrays -> device arrays for step_fn. Data-parallel
+        meshes need the per-host loader slices assembled into global
+        batch-sharded arrays (multi-host shard_map cannot consume plain
+        process-local numpy)."""
+        if self.mesh is not None:
+            from ..parallel import host_to_global
+            return host_to_global(self.mesh, *arrays)
+        return tuple(jnp.asarray(a) for a in arrays)
 
     # ------------------------------------------------------------------
     def train(self):
@@ -367,12 +378,9 @@ class ContrastiveLossTrainer(AlignmentTrainer):
         curr_iter = 0
         for batch in self.data_loader:
             data_timer.tic()
-            args = (jnp.asarray(batch["points0"]),
-                    jnp.asarray(batch["pmask0"]),
-                    jnp.asarray(batch["points1"]),
-                    jnp.asarray(batch["pmask1"]),
-                    jnp.asarray(batch["trans"]),
-                    jnp.asarray(batch["search_radius"]))
+            args = self._feed(batch["points0"], batch["pmask0"],
+                              batch["points1"], batch["pmask1"],
+                              batch["trans"], batch["search_radius"])
             data_time = data_timer.toc(average=False)
             total_timer.tic()
             self.state, metrics = self.step_fn(self.state, lr, *args)
@@ -499,10 +507,8 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
         curr_iter = 0
         for batch in self.data_loader:
             data_timer.tic()
-            args = (jnp.asarray(batch["points"]),
-                    jnp.asarray(batch["pmask"]),
-                    jnp.asarray(batch["transforms"]),
-                    jnp.asarray(batch["search_radius"]))
+            args = self._feed(batch["points"], batch["pmask"],
+                              batch["transforms"], batch["search_radius"])
             data_time = data_timer.toc(average=False)
             total_timer.tic()
             self.state, metrics = self.step_fn(self.state, lr, *args)

@@ -564,3 +564,133 @@ class TestMaskedStats:
         out = np.asarray(l2_normalize(jnp.asarray(f)))
         np.testing.assert_allclose(np.linalg.norm(out, axis=1),
                                    np.ones(50), rtol=1e-5)
+
+
+class TestC1zJitteredConv:
+    """sparse_conv_c1z_jittered: presence-masked output-space jitter on
+    the occupancy fast path (StepConfig.jitter_mode='c1z')."""
+
+    def _tiny_fused(self, rng, k=3):
+        pts = rng.randint(-10, 10, size=(300, 3))
+        xyz = np.unique(pts, axis=0)
+        xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))]
+        n = len(xyz)
+        cap = n + 32
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        spec = ConvSpec("c", 1, 1, k)
+        caps = {1: cap}
+        g_ref = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                            [spec], caps, method="bsearch")
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], caps, method="fused",
+                              sorted_blocks=True, n_clouds=1)
+        return spec, g_ref, g_fused, n, cap, mask
+
+    def test_bit_order_matches_explicit_kmap(self, rng):
+        """c1z_unpack_bits offset enumeration == kernel_offsets row order
+        (the weight-row order), proven against the explicit gather map."""
+        from gcl_tpu.core import sparse_ops
+
+        for k in (3, 5):
+            spec, g_ref, g_fused, n, cap, mask = self._tiny_fused(rng, k)
+            fm = g_fused.fused[spec.key]
+            sparse_ops.FORCE_INTERPRET = True
+            try:
+                w = jnp.asarray(rng.randn(k ** 3, 1, 4).astype(np.float32))
+                _, sbits = sparse_ops._sparse_conv_c1z_core(
+                    fm.win, jnp.dtype(jnp.float32), w, fm.c1z, fm.starts,
+                    fm.nch, fm.tkeys)
+            finally:
+                sparse_ops.FORCE_INTERPRET = False
+            bits = np.asarray(sparse_ops.c1z_unpack_bits(sbits, k ** 3))
+            want = (np.asarray(g_ref.kmaps[spec.key]) >= 0).T  # [N, K^3]
+            np.testing.assert_array_equal(bits[:n], want[:n].astype(
+                np.int32), err_msg=f"k={k}")
+            assert bits[n:].sum() == 0  # padded rows: no presence
+
+    def test_noise_distribution_and_masks(self, rng):
+        from gcl_tpu.core import sparse_ops
+
+        spec, g_ref, g_fused, n, cap, mask = self._tiny_fused(rng, 3)
+        fm = g_fused.fused[spec.key]
+        cout = 4
+        w = jnp.asarray(rng.randn(27, 1, cout).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        sigma = 0.1
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            plain = sparse_ops.sparse_conv_c1z(w, fm, jnp.float32)
+            out_j = sparse_ops.sparse_conv_c1z_jittered(
+                w, fm, jnp.float32, key, sigma, p=1.0)
+            out_p0 = sparse_ops.sparse_conv_c1z_jittered(
+                w, fm, jnp.float32, key, sigma, p=0.0)
+            row_sel = jnp.zeros((cap,), jnp.float32)
+            out_sel0 = sparse_ops.sparse_conv_c1z_jittered(
+                w, fm, jnp.float32, key, sigma, p=1.0, row_sel=row_sel)
+            _, sbits = sparse_ops._sparse_conv_c1z_core(
+                fm.win, jnp.dtype(jnp.float32), w, fm.c1z, fm.starts,
+                fm.nch, fm.tkeys)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+
+        # p-gate off / fully-masked row_sel -> exactly the plain conv
+        np.testing.assert_array_equal(np.asarray(out_p0),
+                                      np.asarray(plain))
+        np.testing.assert_array_equal(np.asarray(out_sel0),
+                                      np.asarray(plain))
+
+        # the injected noise equals presence-masked iid normals through
+        # the weights (mirrors the implementation's RNG consumption —
+        # the semantic content is the masking and the matmul algebra)
+        _, k_eps = jax.random.split(key)
+        bits = np.asarray(sparse_ops.c1z_unpack_bits(sbits, 27))
+        eps = np.asarray(jax.random.normal(k_eps, (cap, 27),
+                                           jnp.float32)) * sigma
+        want = plain + (eps * bits) @ np.asarray(w)[:, 0, :]
+        np.testing.assert_allclose(np.asarray(out_j), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_includes_noise_term(self, rng):
+        """dW of the jittered conv = presence-exact dW + a^T cot for the
+        realized noise mask a — the regularizer reaches the weights."""
+        from gcl_tpu.core import sparse_ops
+
+        spec, g_ref, g_fused, n, cap, mask = self._tiny_fused(rng, 3)
+        fm = g_fused.fused[spec.key]
+        cout = 4
+        w = jnp.asarray(rng.randn(27, 1, cout).astype(np.float32))
+        cot = jnp.asarray(rng.randn(cap, cout).astype(np.float32))
+        key = jax.random.PRNGKey(11)
+        sigma = 0.05
+
+        def loss_plain(w):
+            return jnp.sum(sparse_ops.sparse_conv_c1z(
+                w, fm, jnp.float32) * cot)
+
+        def loss_jit(w):
+            return jnp.sum(sparse_ops.sparse_conv_c1z_jittered(
+                w, fm, jnp.float32, key, sigma, p=1.0) * cot)
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            g0 = jax.grad(loss_plain)(w)
+            g1 = jax.grad(loss_jit)(w)
+            _, sbits = sparse_ops._sparse_conv_c1z_core(
+                fm.win, jnp.dtype(jnp.float32), w, fm.c1z, fm.starts,
+                fm.nch, fm.tkeys)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+
+        _, k_eps = jax.random.split(key)
+        bits = np.asarray(sparse_ops.c1z_unpack_bits(sbits, 27))
+        a = np.asarray(jax.random.normal(k_eps, (cap, 27),
+                                         jnp.float32)) * sigma * bits
+        want_delta = (a.T @ np.asarray(cot))[:, None, :]
+        np.testing.assert_allclose(np.asarray(g1 - g0), want_delta,
+                                   rtol=1e-4, atol=1e-4)

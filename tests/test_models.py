@@ -188,3 +188,125 @@ class TestRegistry:
             cls = load_model(name)
             _, _, out, _ = init_and_run(cls, coords, mask, feats, ckey=5)
             assert np.isfinite(np.asarray(out)[:n]).all(), name
+
+
+class TestOccupancyRouting:
+    """ones_exact gates the presence-bitmask conv1 path.
+
+    The c1z kernels never read the input features, so they are only a
+    valid route when the features are exactly the all-ones occupancy
+    input. Under train-time feature jitter (reference
+    lib/transforms.py:24-34) SparseConv must fall back to the
+    feature-reading path instead of silently dropping the noise.
+    """
+
+    def test_jittered_feats_honored(self, rng):
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.kernel_maps import ConvSpec
+        from gcl_tpu.core.sparse_ops import sparse_conv
+        from gcl_tpu.core.types import map_key as mk
+        from gcl_tpu.models.common import SparseConv
+
+        xyz = np.unique(rng.randint(-12, 12, size=(300, 3)), axis=0)
+        xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))]
+        n = len(xyz)
+        cap = n + 32
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+
+        spec = ConvSpec("conv1", 1, 1, 3)
+        caps = {1: cap}
+        g_ref = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                            [spec], caps, method="bsearch")
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], caps, method="fused",
+                              sorted_blocks=True, n_clouds=1)
+        assert g_fused.fused[spec.key].c1z is not None
+
+        ones = np.asarray(mask, np.float32)[:, None]
+        jittered = ones + (rng.randn(cap, 1) * 0.01
+                           * mask[:, None]).astype(np.float32)
+
+        module = SparseConv(1, 6, spec, occupancy=True)
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            variables = module.init(jax.random.PRNGKey(0),
+                                    jnp.asarray(ones), g_fused)
+            w = variables["params"]["kernel"]
+            rk = mk(1, 1, 3, 1)
+            out_ones = module.apply(variables, jnp.asarray(ones), g_fused,
+                                    True)
+            out_jit = module.apply(variables, jnp.asarray(jittered),
+                                   g_fused, False)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+        oracle_ones = sparse_conv(jnp.asarray(ones), w,
+                                  g_ref.kmaps[spec.key], g_ref.kmaps[rk])
+        oracle_jit = sparse_conv(jnp.asarray(jittered), w,
+                                 g_ref.kmaps[spec.key], g_ref.kmaps[rk])
+        np.testing.assert_allclose(np.asarray(out_ones)[:n],
+                                   np.asarray(oracle_ones)[:n],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_jit)[:n],
+                                   np.asarray(oracle_jit)[:n],
+                                   rtol=1e-4, atol=1e-4)
+        # the jitter must actually reach the output
+        assert np.abs(np.asarray(out_jit)[:n]
+                      - np.asarray(out_ones)[:n]).max() > 1e-5
+
+    def test_conv1_jitter_modes(self, rng):
+        """conv1_jitter on the c1z route injects output-space noise; on
+        feature-reading fallbacks it applies reference-exact input
+        jitter. sigma=0 must be exactly the clean output either way."""
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.kernel_maps import ConvSpec
+        from gcl_tpu.models.common import SparseConv
+
+        xyz = np.unique(rng.randint(-12, 12, size=(300, 3)), axis=0)
+        xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))]
+        n = len(xyz)
+        cap = n + 32
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        spec = ConvSpec("conv1", 1, 1, 3)
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], {1: cap}, method="fused",
+                              sorted_blocks=True, n_clouds=1)
+        ones = np.asarray(mask, np.float32)[:, None]
+        module = SparseConv(1, 6, spec, occupancy=True)
+        rngs = {"jitter": jax.random.PRNGKey(5)}
+
+        import os
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            variables = module.init(jax.random.PRNGKey(0),
+                                    jnp.asarray(ones), g_fused)
+            clean = module.apply(variables, jnp.asarray(ones), g_fused)
+            j_c1z = module.apply(variables, jnp.asarray(ones), g_fused,
+                                 True, (0.1, 1.0, None), rngs=rngs)
+            z_c1z = module.apply(variables, jnp.asarray(ones), g_fused,
+                                 True, (0.0, 1.0, None), rngs=rngs)
+            os.environ["GCL_C1Z"] = "0"   # force the fused fallback
+            j_fb = module.apply(variables, jnp.asarray(ones), g_fused,
+                                True, (0.1, 1.0, None), rngs=rngs)
+            z_fb = module.apply(variables, jnp.asarray(ones), g_fused,
+                                True, (0.0, 1.0, None), rngs=rngs)
+        finally:
+            os.environ.pop("GCL_C1Z", None)
+            sparse_ops.FORCE_INTERPRET = False
+
+        for z in (z_c1z, z_fb):
+            np.testing.assert_allclose(np.asarray(z)[:n],
+                                       np.asarray(clean)[:n],
+                                       rtol=1e-5, atol=1e-6)
+        for j in (j_c1z, j_fb):
+            assert np.abs(np.asarray(j)[:n]
+                          - np.asarray(clean)[:n]).max() > 1e-4

@@ -196,3 +196,23 @@ class TestFCGFTrainer:
         out = trainer._valid_epoch()
         for k in ("loss", "rte", "rre", "hit_ratio", "feat_match_ratio"):
             assert k in out and np.isfinite(out[k])
+
+
+class TestJitterModeC1z:
+    def test_gcl_epoch_with_c1z_jitter_mode(self, synth_env, tmp_path):
+        """--jitter_mode c1z trains end to end. On CPU the fused/c1z
+        kernels are unavailable, so this exercises the SparseConv-owned
+        reference-exact input-jitter fallback plus the rngs plumbing;
+        the c1z injection itself is covered kernel-level in
+        test_core.TestC1zJitteredConv."""
+        cfg = tiny_config(synth_env, tmp_path / "runjc",
+                          trainer="FinestContrastiveLossTrainer",
+                          jitter_mode="c1z")
+        tl, vl = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        p_before = jax.device_get(trainer.state.params)
+        trainer.train()
+        p_after = jax.device_get(trainer.state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
