@@ -16,6 +16,50 @@ import jax.numpy as jnp
 from .coords import coord_keys, sort_by_keys
 from .types import INVALID_BATCH, SparseBatch
 
+# The conv packed-key window per cloud (coords.DEFAULT_KEY_BITS): every
+# valid voxel must be convolvable, so the voxelizer drops rows outside
+# this range (clipping would alias distinct voxels and break the
+# sorted-key contract; keeping them would leave mask-valid rows that no
+# kernel map can match — silently unconvolved features).
+KEY_RANGE_LO = (-512, -512, -64)
+KEY_RANGE_HI = (511, 511, 63)
+
+# Recentring shifts are a multiple of every level stride (lcm of the
+# power-of-two pyramids' 8 and the EXP nets' stride-5 chain's 40), so
+# downsample partitions — and therefore features — are exactly those of
+# the shifted input.
+RECENTER_ALIGN = 40
+
+
+def _recenter_offsets(vcoords: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-cloud integer voxel offset [B, 3] centring each cloud's
+    occupied extent inside the conv key window.
+
+    The reference quantizes absolute world coordinates with unbounded
+    range (ME.utils.sparse_quantize); the packed conv keys instead give
+    each cloud a +-512 x +-512 x +-64 voxel window. KITTI-style
+    sensor-frame scans sit near the origin (offset quantizes to ~0),
+    but fine-voxel indoor/outdoor clouds (3DMatch at 0.025 m, ETH at
+    0.05 m — z alone spans >64 voxels) need the window moved onto the
+    cloud. World positions are recovered from representative points
+    (rep_idx / vox.xyz), never from coords, so the shift is invisible
+    to geometry consumers.
+
+    The centre is the masked MEAN voxel (density-weighted): stray
+    far-range returns among tens of thousands of points barely move
+    it, whereas an extent midpoint would let one glitch return drag
+    the window off the real cloud. Reductions only — no sorts on the
+    training hot path; near-origin scans quantize to offset 0 and are
+    bit-identical to the unshifted build.
+    """
+    cnt = jnp.maximum(jnp.sum(mask, axis=1).astype(jnp.float32), 1.0)
+    s = jnp.sum(jnp.where(mask[..., None], vcoords, 0),
+                axis=1).astype(jnp.float32)
+    mid = s / cnt[:, None]
+    off = (jnp.round(mid / RECENTER_ALIGN).astype(jnp.int32)
+           * RECENTER_ALIGN)
+    return jnp.where(jnp.any(mask, axis=1)[:, None], off, 0)
+
 
 @partial(jax.jit, static_argnames=("n_cap",))
 def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
@@ -44,8 +88,17 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
     """
     B, P = points.shape[:2]
     vcoords = jnp.floor(points / voxel_size).astype(jnp.int32)  # [B,P,3]
+    vcoords = vcoords - _recenter_offsets(vcoords, mask)[:, None, :]
     cloud_id = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, P))
+    # Rows outside the conv key window are dropped (marked invalid), not
+    # clipped: clipping would alias distinct voxels into one and could
+    # emit rows out of sorted-key order, violating the sorted_blocks
+    # contract; keeping them would leave valid-but-unconvolvable rows.
+    in_range = jnp.all(
+        (vcoords >= jnp.asarray(KEY_RANGE_LO, jnp.int32))
+        & (vcoords <= jnp.asarray(KEY_RANGE_HI, jnp.int32)), axis=-1)
+    mask = mask & in_range
     cloud_id = jnp.where(mask, cloud_id, INVALID_BATCH)
     coords = jnp.concatenate(
         [cloud_id[..., None], vcoords], axis=-1).reshape(B * P, 4)
@@ -59,14 +112,7 @@ def voxelize_points(points: jax.Array, mask: jax.Array, voxel_size,
         # one packed 28-bit (x, y, z) int32 key -> 2-operand stable
         # sorts instead of the 3-operand lexicographic (hi, lo) sort.
         xyz = vcoords.reshape(P, 3)
-        # Points outside the 28-bit key range are dropped (marked invalid)
-        # rather than clipped: clipping would alias distinct voxels into
-        # one and could emit rows out of sorted-key order, violating the
-        # sorted_blocks contract the fused conv windows rely on.
-        in_range = jnp.all(
-            (xyz >= jnp.asarray([-512, -512, -128], jnp.int32))
-            & (xyz <= jnp.asarray([511, 511, 127], jnp.int32)), axis=1)
-        ok = mask.reshape(-1) & in_range
+        ok = mask.reshape(-1)
         key = (((xyz[:, 0] + 512) << 18) | ((xyz[:, 1] + 512) << 8)
                | (xyz[:, 2] + 128))
         key = jnp.where(ok, key, sen)

@@ -70,19 +70,49 @@ class TestVoxelize:
         assert batch.mask.sum() == 64  # full, no crash
 
     def test_out_of_key_range_dropped_not_aliased(self, rng):
-        # B==1 fast path: points beyond the packed-key range must be
-        # DROPPED (clipping would alias distinct voxels and could break
-        # the sorted-blocks row order the fused conv windows rely on)
-        pts = np.asarray([[[1.0, 1.0, 1.0],       # in range
-                           [1000.0, 0.0, 0.0],    # |x| >= 512 voxels
-                           [0.0, 0.0, 200.0]]],   # |z| >= 128 voxels
-                         np.float32)
-        mask = np.ones((1, 3), bool)
+        # Points beyond the per-cloud conv key window must be DROPPED
+        # (clipping would alias distinct voxels and could break the
+        # sorted-blocks row order the fused conv windows rely on). A
+        # dense near-origin cluster pins the density-weighted
+        # recentring at zero; the two glitch returns must vanish.
+        base = (rng.randn(100, 3) * 3.0).astype(np.float32)
+        pts = np.concatenate(
+            [base, [[1000.0, 0.0, 0.0],    # |x| >= 512 voxels
+                    [0.0, 0.0, 200.0]]],   # |z| >= 64 voxels
+            0).astype(np.float32)[None]
+        mask = np.ones((1, 102), bool)
         batch, _ = voxelize_points(jnp.asarray(pts), jnp.asarray(mask),
-                                   1.0, n_cap=8)
+                                   1.0, n_cap=256)
         batch = jax.device_get(batch)
-        assert batch.mask.sum() == 1
-        assert np.array_equal(batch.coords[batch.mask][0], [0, 1, 1, 1])
+        got = {tuple(c) for c in batch.coords[batch.mask][:, 1:]}
+        oracle = {tuple(v) for v in np.floor(base).astype(np.int32)}
+        assert got == oracle
+
+    def test_recentring_keeps_far_and_tall_clouds(self, rng):
+        """Clouds outside the absolute key window (fine-voxel indoor /
+        outdoor eval; the reference's absolute coords are unbounded)
+        are recentred per cloud rather than truncated, preserving the
+        full relative voxel pattern."""
+        for center in ([5000.0, -3000.0, 300.0],   # far from origin
+                       [0.0, 0.0, 80.0]):          # z span alone > 64
+            # z spread stays inside the 128-voxel window once centred
+            base = (rng.randn(300, 3) * np.asarray([8.0, 8.0, 15.0])
+                    + np.asarray(center)).astype(np.float32)
+            base = base.clip(np.asarray(center) - 55,
+                             np.asarray(center) + 55)
+            pts = base[None]
+            mask = np.ones((1, 300), bool)
+            batch, _ = voxelize_points(jnp.asarray(pts),
+                                       jnp.asarray(mask), 1.0,
+                                       n_cap=512)
+            batch = jax.device_get(batch)
+            got = np.asarray(sorted(
+                tuple(c) for c in batch.coords[batch.mask][:, 1:]))
+            oracle = np.asarray(sorted(_np_voxelize(base, 1.0).keys()))
+            assert len(got) == len(oracle), center
+            # identical relative pattern (one global shift per cloud)
+            np.testing.assert_array_equal(
+                got - got.min(0), oracle - oracle.min(0))
 
     def test_representative_xyz(self, rng):
         pts = rng.randn(2, 200, 3).astype(np.float32)

@@ -310,3 +310,57 @@ class TestOccupancyRouting:
         for j in (j_c1z, j_fb):
             assert np.abs(np.asarray(j)[:n]
                           - np.asarray(clean)[:n]).max() > 1e-4
+
+
+class TestRecentredTranslationInvariance:
+    def test_features_invariant_under_large_world_translation(self, rng):
+        """Per-cloud recentring (core/voxelize._recenter_offsets) makes
+        features exactly invariant to large world translations that
+        would overflow the absolute conv key window — the capability
+        the reference gets from unbounded absolute coords."""
+        from gcl_tpu.data.device_pipeline import voxelize_per_cloud
+        from gcl_tpu.models.resunet import ResUNetBN2C
+
+        vs = 0.25
+        # points centred in their voxels: the large translation pushes
+        # coordinates to ~1000 where f32 resolution (~6e-5) could
+        # otherwise flip floor() at voxel boundaries
+        vox_ids = rng.randint(-24, 24, size=(400, 3))
+        pts = ((vox_ids + rng.uniform(0.3, 0.7, (400, 3))) * vs
+               ).astype(np.float32)
+
+        def feats_of(cloud):
+            vox = voxelize_per_cloud(jnp.asarray(cloud[None]),
+                                     jnp.ones((1, 400), bool), vs, 1024)
+            model = ResUNetBN2C(1, 16, bn_momentum=0.05,
+                                normalize_feature=True,
+                                conv1_kernel_size=3, D=3)
+            specs = ResUNetBN2C.conv_specs(3)
+            strides = sorted({s for sp in specs
+                              for s in (sp.in_stride, sp.out_stride)})
+            caps = default_level_caps(1024, strides, shrink=0.8)
+            flat_c = vox.coords.reshape(-1, 4)
+            flat_m = vox.mask.reshape(-1)
+            g = build_graph(jnp.asarray(flat_c), jnp.asarray(flat_m),
+                            specs, caps)
+            variables = model.init(jax.random.PRNGKey(0), g,
+                                   jnp.asarray(flat_m[:, None]
+                                               .astype(np.float32)))
+            out = model.apply(variables, g,
+                              jnp.asarray(flat_m[:, None]
+                                          .astype(np.float32)),
+                              train=False)
+            # return features keyed by world position for comparison
+            xyz = np.asarray(vox.xyz.reshape(-1, 3))
+            return (np.asarray(out)[np.asarray(flat_m)],
+                    xyz[np.asarray(flat_m)])
+
+        # shift by an exact multiple of RECENTER_ALIGN voxels so the
+        # voxel partition (and thus features) must match exactly
+        shift_vox = np.asarray([4000, -4000, 400], np.float32)
+        f0, x0 = feats_of(pts)
+        f1, x1 = feats_of(pts + shift_vox * vs)
+        assert len(f0) == len(f1)
+        o0 = np.lexsort(x0.T)
+        o1 = np.lexsort((x1 - shift_vox * vs).T)
+        np.testing.assert_allclose(f0[o0], f1[o1], atol=2e-3)
