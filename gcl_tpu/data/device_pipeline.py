@@ -120,6 +120,25 @@ _OCTANT = jnp.asarray(
      [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
 
 
+def _octant_probes(xyz: jax.Array, mask: jax.Array, cell):
+    """Masked query positions + their 8-cell octant probe keys.
+
+    xyz: float[..., 3]; mask: bool[...]. Returns (qx float[..., 3] with
+    -1e30 fill, probes int32[..., 8], ok bool[..., 8]). A radius
+    <= cell/2 sphere intersects at most 2 cells per axis: the home cell
+    plus the neighbour on the side of the cell midpoint. Shared by
+    grid_radius_knn and _batched_grid_core so the midpoint probe rule
+    cannot drift between the XLA fallback and the Pallas path.
+    """
+    qx = jnp.where(mask[..., None], xyz, -1e30)
+    qc = qx * jnp.float32(1.0 / cell)
+    qcell = jnp.floor(qc).astype(jnp.int32)
+    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
+    probe_cells = qcell[..., None, :] + step[..., None, :] * _OCTANT
+    probes, ok = _cell_key(probe_cells, mask[..., None])
+    return qx, probes, ok
+
+
 @partial(jax.jit, static_argnames=("k", "cell", "cell_cap"))
 def grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
                     targets: jax.Array, t_mask: jax.Array, radius,
@@ -158,13 +177,7 @@ def grid_radius_knn(queries: jax.Array, q_mask: jax.Array,
         t_mask)
     tx = jnp.where(t_ok[:, None], targets, 1e30)
 
-    qx = jnp.where(q_mask[:, None], queries, -1e30)
-    qc = qx * jnp.float32(1.0 / cell)
-    qcell = jnp.floor(qc).astype(jnp.int32)
-    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)  # [Q,3]
-    probe_cells = (qcell[:, None, :]
-                   + step[:, None, :] * _OCTANT[None, :, :])  # [Q,8,3]
-    qkey, _ = _cell_key(probe_cells, q_mask[:, None])  # [Q,8]
+    qx, qkey, _ = _octant_probes(queries, q_mask, cell)  # [Q,8]
 
     # flag bit 1 = target, so queries sort BEFORE equal-key targets and a
     # query's target-prefix-count is searchsorted-left (the run start).
@@ -259,22 +272,25 @@ def _batched_grid_core(queries, q_mask, targets, t_mask, r, k, cell,
     s_n, q_n, _ = queries.shape
     t_n = targets.shape[1]
 
+    # invalid rows carry the KERNEL's sentinel (pallas_radius._SENTINEL,
+    # 0x7FFFFFFF), not _cell_key's int30 one: sentinel probes are then
+    # excluded from the per-tile window extrema (fully-padded tiles skip
+    # their DMA+compute entirely) and can never key-match the
+    # sentinel'd invalid-target run. (_cell_key's own sentinel stays
+    # int30 for grid_radius_knn's 2*key+1 merge trick.)
+    ksen = jnp.int32(0x7FFFFFFF)
     tkey, t_ok = _cell_key(jnp.floor(
         jnp.where(t_mask[..., None], targets, 1e30) / cell
     ).astype(jnp.int32), t_mask)
+    tkey = jnp.where(t_ok, tkey, ksen)
     tx = jnp.where(t_ok[..., None], targets, 1e30)
     iota_t = jnp.broadcast_to(jnp.arange(t_n, dtype=jnp.int32),
                               (s_n, t_n))
     tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
     txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
 
-    qx = jnp.where(q_mask[..., None], queries, -1e30)
-    qc = qx * jnp.float32(1.0 / cell)
-    qcell = jnp.floor(qc).astype(jnp.int32)
-    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
-    probe_cells = (qcell[:, :, None, :]
-                   + step[:, :, None, :] * _OCTANT[None, None, :, :])
-    probes, _ = _cell_key(probe_cells, q_mask[:, :, None])  # [S, Q, 8]
+    qx, probes, p_ok = _octant_probes(queries, q_mask, cell)  # [S,Q,8]
+    probes = jnp.where(p_ok, probes, ksen)
 
     qperm = None
     if not presorted:
@@ -386,7 +402,7 @@ def _assemble_groups(vox: VoxelizedClouds, idx: jax.Array,
 
 
 def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
-                            voxel_size, search_radius, k: int = 5,
+                            search_radius, k: int = 5,
                             chunk: int = 512, cell: float = None,
                             cell_cap: int = 8,
                             _interpret: bool = False) -> ColocationGroups:

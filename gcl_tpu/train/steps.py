@@ -96,13 +96,24 @@ def _apply_sgd(tx, grads, opt_state, params, lr):
 
 def _jitter_feats(feats, mask, key, sigma, p, row_sel=None):
     """Feature jitter (reference lib/transforms.py:24-34, applied to the
-    center cloud's occupancy features at load time)."""
+    center cloud's occupancy features at load time). The reference draws
+    the p-gate per SAMPLE (one random.random() per __getitem__); callers
+    fold per-sample gates into row_sel via _sample_gates and pass p=1."""
     k1, k2 = jax.random.split(key)
     on = jax.random.uniform(k1) < p
     noise = jax.random.normal(k2, feats.shape) * sigma
     if row_sel is not None:
         noise = noise * row_sel[:, None]
     return jnp.where(on, feats + noise * mask[:, None], feats)
+
+
+def _sample_gates(key, p, n_samples, row_to_sample):
+    """Per-sample jitter gate expanded to rows: float[N] in {0, 1}.
+    Matches the reference's one-gate-per-__getitem__ semantics
+    (lib/transforms.py:25 `random.random() < 0.95` runs per sample)."""
+    gates = (jax.random.uniform(key, (n_samples,)) < p).astype(
+        jnp.float32)
+    return gates[jnp.clip(row_to_sample, 0, n_samples - 1)]
 
 
 # ----------------------------------------------------------------------
@@ -138,8 +149,7 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         vox_b = jax.tree_util.tree_map(
             lambda x: x.reshape((b, c) + x.shape[1:]), vox)
         with jax.named_scope("groups"):
-            groups = batch_colocation_groups(vox_b, transforms,
-                                             step_cfg.voxel_size, radius,
+            groups = batch_colocation_groups(vox_b, transforms, radius,
                                              k=step_cfg.group_k,
                                              chunk=step_cfg.knn_chunk,
                                              cell=step_cfg.search_cell,
@@ -176,20 +186,25 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
 
         c1z_mode = jitter and step_cfg.jitter_mode == "c1z"
+        if jitter:
+            # per-sample p-gate folded into the row mask (reference
+            # draws one gate per __getitem__)
+            k_jit, k_gate = jax.random.split(k_jit)
+            jit_rows = center_rows * _sample_gates(
+                k_gate, step_cfg.jitter_p, b, flat.coords[:, 0] // c)
 
         def loss(params):
             feats = flat.feats
             if jitter and not c1z_mode:
                 feats = _jitter_feats(feats, flat.mask, k_jit,
-                                      step_cfg.jitter_sigma,
-                                      step_cfg.jitter_p, center_rows)
+                                      step_cfg.jitter_sigma, 1.0,
+                                      jit_rows)
             apply_kw = {}
             if c1z_mode:
                 # conv1 owns the jitter (center-cloud rows only,
                 # reference lib/colocation_data_loader.py:414-415)
                 apply_kw = dict(
-                    conv1_jitter=(step_cfg.jitter_sigma,
-                                  step_cfg.jitter_p, center_rows),
+                    conv1_jitter=(step_cfg.jitter_sigma, 1.0, jit_rows),
                     rngs={"jitter": k_jit})
             with jax.named_scope("unet"):
                 f_out, mut = model.apply(
@@ -278,17 +293,24 @@ def make_pair_grad_fn(model, conv_specs, step_cfg: StepConfig,
         feats = flat.feats
         jit_on = train and jitter
         c1z_mode = jit_on and step_cfg.jitter_mode == "c1z"
+        if jit_on:
+            # per-sample p-gate (the reference's Jitter runs per
+            # __getitem__ and per side,
+            # lib/complement_data_loader.py:707-709); each side_forward
+            # call gets its own key, so gates are side-independent
+            key, k_gate = jax.random.split(key)
+            jit_rows = _sample_gates(k_gate, step_cfg.jitter_p, b,
+                                     flat.coords[:, 0])
         if jit_on and not c1z_mode:
             # the reference composes the Jitter feature-noise transform
             # into train-phase pair loaders too
             # (lib/colocation_data_loader.py:742-747, lib/transforms.py)
             feats = _jitter_feats(feats, flat.mask, key,
-                                  step_cfg.jitter_sigma,
-                                  step_cfg.jitter_p)
+                                  step_cfg.jitter_sigma, 1.0, jit_rows)
         apply_kw = {}
         if c1z_mode:
-            apply_kw = dict(conv1_jitter=(step_cfg.jitter_sigma,
-                                          step_cfg.jitter_p, None),
+            apply_kw = dict(conv1_jitter=(step_cfg.jitter_sigma, 1.0,
+                                          jit_rows),
                             rngs={"jitter": key})
         with jax.named_scope("unet"):
             f, mut = model.apply(
@@ -481,8 +503,7 @@ def make_dist_err_step(model, conv_specs, step_cfg: StepConfig):
                                  step_cfg.voxel_size, step_cfg.nv_cap)
         vox_b = jax.tree_util.tree_map(
             lambda x: x.reshape((b, c) + x.shape[1:]), vox)
-        groups = batch_colocation_groups(vox_b, transforms,
-                                         step_cfg.voxel_size, radius,
+        groups = batch_colocation_groups(vox_b, transforms, radius,
                                          k=step_cfg.group_k,
                                          chunk=step_cfg.knn_chunk,
                                          cell=step_cfg.search_cell,

@@ -80,6 +80,14 @@ class AlignmentTrainer:
                 raise ValueError(
                     f"data_parallel: batch_size {self.batch_size} not "
                     f"divisible by {n_dev} devices")
+            if jax.process_count() > 1 and n_dev != n_avail:
+                # host_to_global assembles per-host loader slices over a
+                # mesh of ALL devices; a partial mesh would leave some
+                # local devices outside the sharding
+                raise ValueError(
+                    "data_parallel: --num_devices must cover every "
+                    f"device on multi-host meshes ({n_dev} requested, "
+                    f"{n_avail} visible)")
             from ..parallel import make_mesh
             self.mesh = make_mesh(n_dev)
             logging.info(f"Data-parallel over {n_dev} devices "

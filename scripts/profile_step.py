@@ -91,7 +91,7 @@ def main():
                                  cfg.voxel_size, cfg.nv_cap)
         vox_b = jax.tree_util.tree_map(
             lambda x: x.reshape((bb, cc) + x.shape[1:]), vox)
-        groups = batch_colocation_groups(vox_b, transforms, cfg.voxel_size,
+        groups = batch_colocation_groups(vox_b, transforms,
                                          radius, k=cfg.group_k,
                                          chunk=cfg.knn_chunk,
                                          cell=cfg.search_cell,

@@ -84,7 +84,7 @@ class TestColocationDataset:
         vox_b = jax.tree_util.tree_map(
             lambda x: x.reshape((b, c) + x.shape[1:]), vox)
         groups = batch_colocation_groups(
-            vox_b, jnp.asarray(batch["transforms"]), cfg.voxel_size,
+            vox_b, jnp.asarray(batch["transforms"]),
             float(batch["search_radius"].max()), k=cfg.group_k)
         g = jax.device_get(groups)
         assert g.valid.sum() > 50  # plenty of colocation groups

@@ -217,7 +217,7 @@ class TestColocationGroups:
             jnp.asarray(xyz)[None])
         radius, k = 1.2, 5
         groups = batch_colocation_groups(
-            vox, jnp.asarray(np.stack(trans))[None], 0.3, radius, k=k)
+            vox, jnp.asarray(np.stack(trans))[None], radius, k=k)
         groups = jax.device_get(groups)
 
         oracle = oracle_groups(clouds[0], clouds[1:], trans[1:], radius, k)
@@ -257,7 +257,7 @@ class TestColocationGroups:
                               (2, c, 4, 4)).copy()
         vox = VoxelizedClouds(jnp.asarray(coords), jnp.asarray(mask),
                               jnp.asarray(xyz))
-        groups = batch_colocation_groups(vox, jnp.asarray(eye), 0.3, 5.0,
+        groups = batch_colocation_groups(vox, jnp.asarray(eye), 5.0,
                                          k=3)
         g = jax.device_get(groups)
         assert g.anchor_item.shape == (2 * nv,)
@@ -314,10 +314,10 @@ class TestPermutedGroupAssembly:
         trans[:, 2, :3, 3] = [-0.8, 0, 0]
         radius = np.full((b,), 0.5, np.float32)
 
-        g_xla = batch_colocation_groups(vox_b, jnp.asarray(trans), 0.35,
+        g_xla = batch_colocation_groups(vox_b, jnp.asarray(trans),
                                         jnp.asarray(radius), k=4,
                                         cell=None)
-        g_pal = batch_colocation_groups(vox_b, jnp.asarray(trans), 0.35,
+        g_pal = batch_colocation_groups(vox_b, jnp.asarray(trans),
                                         jnp.asarray(radius), k=4,
                                         cell=1.2, _interpret=True)
 

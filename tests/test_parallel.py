@@ -124,3 +124,21 @@ class TestParallel:
         for a, w in zip(got_flat, want_flat):
             np.testing.assert_allclose(np.asarray(a), np.asarray(w),
                                        atol=1e-4)
+
+
+class TestHostToGlobal:
+    def test_single_process_device_put_with_sharding(self):
+        """host_to_global on a single process = device_put with the
+        batch sharding: values identical, arrays sharded by sample over
+        the mesh (the multi-host make_array_from_process_local_data
+        branch shares the same sharding contract)."""
+        from gcl_tpu.parallel import batch_sharding, host_to_global, make_mesh
+
+        mesh = make_mesh(8)
+        a = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+        b = np.arange(8, dtype=np.int32)
+        ga, gb = host_to_global(mesh, a, b)
+        np.testing.assert_array_equal(np.asarray(ga), a)
+        np.testing.assert_array_equal(np.asarray(gb), b)
+        assert ga.sharding == batch_sharding(mesh)
+        assert len({d.id for d in ga.sharding.device_set}) == 8

@@ -216,3 +216,28 @@ class TestJitterModeC1z:
         diffs = jax.tree_util.tree_map(
             lambda a, b: float(np.abs(a - b).max()), p_before, p_after)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+class TestSampleGates:
+    def test_gate_constant_within_sample(self):
+        """The jitter p-gate is one draw per sample (reference
+        lib/transforms.py:25 runs per __getitem__): every row of a
+        sample shares the gate, p=0/1 are exact, and out-of-range
+        padding rows clip into a valid sample (their noise is masked
+        elsewhere)."""
+        from gcl_tpu.train.steps import _sample_gates
+        key = jax.random.PRNGKey(3)
+        row_to_sample = jnp.asarray(
+            np.repeat(np.arange(4, dtype=np.int32), 10))
+        g = np.asarray(_sample_gates(key, 0.5, 4, row_to_sample))
+        assert set(np.unique(g)) <= {0.0, 1.0}
+        for s in range(4):
+            assert len(np.unique(g[s * 10:(s + 1) * 10])) == 1
+        assert np.all(np.asarray(_sample_gates(key, 1.0, 4,
+                                               row_to_sample)) == 1.0)
+        assert np.all(np.asarray(_sample_gates(key, 0.0, 4,
+                                               row_to_sample)) == 0.0)
+        # rows flagged with the padding batch id clip to a valid gate
+        pad_rows = jnp.full((5,), 10 ** 6, jnp.int32)
+        gp = np.asarray(_sample_gates(key, 0.5, 4, pad_rows))
+        assert gp.shape == (5,)
