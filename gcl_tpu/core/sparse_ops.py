@@ -344,6 +344,74 @@ def sparse_conv_c1z_jittered(weights: jax.Array, fm, out_dtype,
     return out + noise
 
 
+def window_support_gate(nch: jax.Array, starts: jax.Array, win: int,
+                        sel: jax.Array, t_pad: int) -> jax.Array:
+    """Zero out window chunk counts whose rows contain no selected input.
+
+    nch/starts: FusedMap window tables [G, n_tiles]; sel: bool/float[N]
+    over the input level's rows (original row order, N <= t_pad). A
+    window [start, start + nch*win) with no selected row can only match
+    rows whose features are zero in a support-restricted conv, so
+    skipping it (nch=0 -> the kernels skip DMA and compute entirely) is
+    exact regardless of level layout.
+    """
+    selp = jnp.zeros((t_pad,), jnp.int32).at[:sel.shape[0]].set(
+        (sel > 0).astype(jnp.int32))
+    cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(selp)])
+    hi = jnp.minimum(starts + nch * win, t_pad)
+    any_sel = (cs[hi] - cs[starts]) > 0
+    return jnp.where(any_sel, nch, 0)
+
+
+def draw_input_eps(key: jax.Array, sigma: float, p: float,
+                   lv_mask: jax.Array, row_sel=None) -> jax.Array:
+    """The reference's input-feature jitter noise, as a standalone draw:
+    eps float32[N, 1] = gate(p) * N(0, sigma) on valid rows (row_sel
+    restricts further — GCL jitters center-cloud rows only). Split out so
+    tests can reproduce the exact noise sparse_conv_c1z_exact_jitter
+    injects. Matches lib/transforms.py:24-34 with the per-sample p-gate
+    folded into row_sel by the callers (train.steps._sample_gates)."""
+    k1, k2 = jax.random.split(key)
+    gate = (jax.random.uniform(k1) < p).astype(jnp.float32)
+    n = lv_mask.shape[0]
+    eps = (jax.random.normal(k2, (n, 1), jnp.float32) * sigma * gate
+           * lv_mask.astype(jnp.float32)[:, None])
+    if row_sel is not None:
+        eps = eps * row_sel.astype(jnp.float32)[:, None]
+    return eps
+
+
+def sparse_conv_c1z_exact_jitter(weights: jax.Array, fm, rfm, out_dtype,
+                                 key: jax.Array, sigma: float, p: float,
+                                 lv_mask: jax.Array,
+                                 row_sel=None) -> jax.Array:
+    """Occupancy conv + reference-EXACT input jitter at presence cost.
+
+    conv(1 + eps) = conv(1) + conv(eps) by linearity: the all-ones term
+    rides the presence-bitmask kernels (sparse_conv_c1z — no gather at
+    all), and the eps term is a scalar-feature fused conv whose windows
+    are gated to tiles that can see a jittered row (window_support_gate).
+    GCL jitters only the center cloud (1 of num_neighborhood+1 clouds,
+    reference lib/colocation_data_loader.py:414-415), so ~1/7 of the eps
+    conv's window work survives — the exact semantics of
+    jitter_mode='input' at a fraction of the full feature-reading
+    gather's cost. eps carries no parameter dependence, so its dX pass
+    is dead code XLA removes; dW accumulates from both terms.
+    """
+    from .types import FusedMap
+
+    out = sparse_conv_c1z(weights, fm, out_dtype)
+    eps = draw_input_eps(key, sigma, p, lv_mask, row_sel)
+    sel = lv_mask.astype(jnp.float32)
+    if row_sel is not None:
+        sel = sel * row_sel.astype(jnp.float32)
+    nch_eps = window_support_gate(fm.nch, fm.starts, fm.win, sel,
+                                  fm.tkeys.shape[1])
+    fm_eps = FusedMap(fm.qkey, fm.starts, nch_eps, fm.tkeys, fm.win)
+    y_eps = sparse_conv_fused(eps.astype(out.dtype), weights, fm_eps, rfm)
+    return out + y_eps
+
+
 def c1z_available(fm, in_ch: int, occupancy: bool) -> bool:
     """Gate for the presence-bitmask occupancy-conv path."""
     import os

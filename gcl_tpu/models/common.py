@@ -15,7 +15,9 @@ from flax import linen as nn
 from ..core.kernel_maps import ConvSpec
 from ..core.sparse_ops import (c1z_available, masked_instance_mean_var,
                                masked_mean_var, sparse_conv,
-                               sparse_conv_c1z, sparse_conv_c1z_jittered,
+                               sparse_conv_c1z,
+                               sparse_conv_c1z_exact_jitter,
+                               sparse_conv_c1z_jittered,
                                sparse_conv_fused)
 from ..core.types import SparseGraph, map_key
 
@@ -50,20 +52,30 @@ class SparseConv(nn.Module):
         silently drop the noise; the caller passes False then and the
         conv falls back to the feature-reading fused path.
 
-        ``c1z_jitter``: optional (sigma, p, row_sel) — StepConfig
-        jitter_mode='c1z'. The conv owns the jitter: on the presence
-        fast path it injects the distribution-matched output-space
-        noise (sparse_ops.sparse_conv_c1z_jittered); on any fallback
-        route it applies the reference-exact input jitter to ``x``
+        ``c1z_jitter``: optional (sigma, p, row_sel[, exact]) — the conv
+        owns the train-time feature jitter. With exact=True (StepConfig
+        jitter_mode='input', the default), the presence fast path stays
+        EXACT by splitting conv(1+eps) = presence_conv(1) + conv(eps)
+        with the eps conv's windows gated to jittered rows
+        (sparse_ops.sparse_conv_c1z_exact_jitter). With exact=False
+        (jitter_mode='c1z'), it injects distribution-matched
+        output-space noise instead
+        (sparse_ops.sparse_conv_c1z_jittered). On any route that reads
+        features it applies the reference-exact input jitter to ``x``
         first. Requires an apply-time 'jitter' RNG stream."""
         if c1z_jitter is not None:
             assert ones_exact, \
                 "c1z_jitter implies the raw all-ones input (the conv " \
                 "applies the jitter itself)"
 
+        def _jitter_parts():
+            sigma, p, row_sel = c1z_jitter[:3]
+            exact = c1z_jitter[3] if len(c1z_jitter) > 3 else True
+            return sigma, p, row_sel, exact
+
         def input_jitter(x):
             # reference-exact input jitter for routes that read features
-            sigma, p, row_sel = c1z_jitter
+            sigma, p, row_sel, _ = _jitter_parts()
             k1, k2 = jax.random.split(self.make_rng("jitter"))
             gate = (jax.random.uniform(k1) < p).astype(x.dtype)
             lv_mask = graph.levels[self.spec.in_stride].mask
@@ -96,10 +108,19 @@ class SparseConv(nn.Module):
             if c1z_jitter is not None and not on_c1z:
                 x = input_jitter(x)
             if on_c1z and c1z_jitter is not None:
-                sigma, p, row_sel = c1z_jitter
-                y = sparse_conv_c1z_jittered(w, fm, x.dtype,
-                                             self.make_rng("jitter"),
-                                             sigma, p, row_sel)
+                sigma, p, row_sel, exact = _jitter_parts()
+                if exact:
+                    # c1z maps only exist for same-level odd stencils,
+                    # whose reverse fused twin build_graph always builds
+                    rfm = graph.fused[rk]
+                    lv_mask = graph.levels[self.spec.in_stride].mask
+                    y = sparse_conv_c1z_exact_jitter(
+                        w, fm, rfm, x.dtype, self.make_rng("jitter"),
+                        sigma, p, lv_mask, row_sel)
+                else:
+                    y = sparse_conv_c1z_jittered(w, fm, x.dtype,
+                                                 self.make_rng("jitter"),
+                                                 sigma, p, row_sel)
             elif on_c1z:
                 y = sparse_conv_c1z(w, fm, x.dtype)
             elif graph.fused is not None and rk in graph.fused:

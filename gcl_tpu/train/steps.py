@@ -185,7 +185,6 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
         ppmask = None
         center_rows = (flat.coords[:, 0] % c == 0).astype(jnp.float32)
 
-        c1z_mode = jitter and step_cfg.jitter_mode == "c1z"
         if jitter:
             # per-sample p-gate folded into the row mask (reference
             # draws one gate per __getitem__)
@@ -195,22 +194,24 @@ def make_gcl_grad_fn(model, conv_specs, step_cfg: StepConfig,
 
         def loss(params):
             feats = flat.feats
-            if jitter and not c1z_mode:
-                feats = _jitter_feats(feats, flat.mask, k_jit,
-                                      step_cfg.jitter_sigma, 1.0,
-                                      jit_rows)
             apply_kw = {}
-            if c1z_mode:
+            if jitter:
                 # conv1 owns the jitter (center-cloud rows only,
-                # reference lib/colocation_data_loader.py:414-415)
+                # reference lib/colocation_data_loader.py:414-415).
+                # jitter_mode='input' (default) keeps reference-EXACT
+                # semantics: the conv splits conv(1+eps) into the
+                # presence conv + a support-gated eps conv
+                # (sparse_ops.sparse_conv_c1z_exact_jitter); 'c1z'
+                # selects the distribution-matched approximation.
                 apply_kw = dict(
-                    conv1_jitter=(step_cfg.jitter_sigma, 1.0, jit_rows),
+                    conv1_jitter=(step_cfg.jitter_sigma, 1.0, jit_rows,
+                                  step_cfg.jitter_mode != "c1z"),
                     rngs={"jitter": k_jit})
             with jax.named_scope("unet"):
                 f_out, mut = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     graph, feats.astype(step_cfg.compute_dtype),
-                    train=True, ones_exact=not (jitter and not c1z_mode),
+                    train=True, ones_exact=True,
                     mutable=["batch_stats"], **apply_kw)
             with jax.named_scope("gcl_loss"):
                 out = group_loss(f_out.astype(jnp.float32), flat.mask,

@@ -79,12 +79,32 @@ def main():
                     sems.at[slot, 1])
 
             def run_group(g, tk, win):
+                if variant == "pipe":
+                    # software pipeline: offset j+1's one-hot build (VPU)
+                    # is issued before offset j's gather GEMM result is
+                    # consumed, making the VPU/MXU independence explicit
+                    oh = (qk_ref[g * kg, :][:, None] == tk).astype(dt)
+                    for j in range(g * kg, (g + 1) * kg):
+                        gx = jnp.dot(oh, win,
+                                     preferred_element_type=jnp.float32)
+                        if j + 1 < (g + 1) * kg:
+                            oh = (qk_ref[j + 1, :][:, None]
+                                  == tk).astype(dt)
+                        acc_ref[:, :] += jnp.dot(
+                            gx.astype(dt), w_ref[j],
+                            preferred_element_type=jnp.float32)
+                    return
                 oh0 = (qk_ref[g * kg, :][:, None] == tk).astype(dt)
                 for j in range(g * kg, (g + 1) * kg):
                     if variant == "nohot":
                         oh = oh0
                     else:
                         oh = (qk_ref[j, :][:, None] == tk).astype(dt)
+                    if variant == "hotonly":
+                        # cheap consume: isolates the build cost without
+                        # nodot's expensive cross-lane row reduction
+                        acc_ref[:, 0:1] += oh[:, 0:1].astype(jnp.float32)
+                        continue
                     if variant == "nodot":
                         acc_ref[:, 0:1] += jnp.sum(
                             oh, axis=1, keepdims=True).astype(jnp.float32)
@@ -312,7 +332,7 @@ def main():
     print(json.dumps({"rows": n_rows, "k": 27, "win": win,
                       "tiles": int(fm.starts.shape[1])}), flush=True)
 
-    FWD = ("full", "nohot", "dot1", "nodot", "nodma")
+    FWD = ("full", "nohot", "dot1", "nodot", "nodma", "pipe", "hotonly")
     BWD = ("bwd_full", "bwd_nodw", "bwd_nodx", "bwd_dwhalf")
     variants = sys.argv[1:] or list(FWD) + list(BWD)
     bad = [v for v in variants if v not in FWD + BWD + ("setup",)]

@@ -724,3 +724,124 @@ class TestC1zJitteredConv:
         want_delta = (a.T @ np.asarray(cot))[:, None, :]
         np.testing.assert_allclose(np.asarray(g1 - g0), want_delta,
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestC1zExactJitterConv:
+    """sparse_conv_c1z_exact_jitter: reference-EXACT input jitter on the
+    presence fast path via conv(1+eps) = presence(1) + conv(eps), with the
+    eps conv's windows gated to jittered rows (window_support_gate).
+    Oracle: the explicit-map conv over the literally jittered features."""
+
+    def _two_cloud_fused(self, rng, k=3, nv=256):
+        """Cloud-blocked 2-cloud layout (pads at block tails), fused +
+        bsearch graphs over the same coords."""
+        blocks = []
+        mask = np.zeros(2 * nv, bool)
+        coords = np.full((2 * nv, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        for c in range(2):
+            pts = rng.randint(-10, 10, size=(300, 3))
+            xyz = np.unique(pts, axis=0)
+            xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))][:nv]
+            n = len(xyz)
+            coords[c * nv:c * nv + n, 0] = c
+            coords[c * nv:c * nv + n, 1:] = xyz
+            mask[c * nv:c * nv + n] = True
+            blocks.append(n)
+        spec = ConvSpec("c", 1, 1, k)
+        caps = {1: 2 * nv}
+        g_ref = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                            [spec], caps, method="bsearch")
+        g_fused = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                              [spec], caps, method="fused",
+                              sorted_blocks=True, n_clouds=2)
+        return spec, g_ref, g_fused, mask
+
+    @pytest.mark.parametrize("restrict", [True, False])
+    def test_matches_literal_input_jitter(self, rng, restrict):
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.types import map_key as mk
+
+        spec, g_ref, g_fused, mask = self._two_cloud_fused(rng)
+        fm = g_fused.fused[spec.key]
+        rfm = g_fused.fused[mk(1, 1, 3, 1)]
+        assert fm.c1z is not None
+        cap = mask.shape[0]
+        cout = 4
+        w = jnp.asarray(rng.randn(27, 1, cout).astype(np.float32))
+        cot = jnp.asarray(rng.randn(cap, cout).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        sigma = 0.5
+        lv_mask = g_fused.levels[1].mask
+        # jitter cloud 0 only (the GCL center-cloud pattern) or all rows
+        row_sel = None
+        if restrict:
+            row_sel = jnp.asarray(
+                (np.arange(cap) < cap // 2) & mask, jnp.float32)
+
+        eps = sparse_ops.draw_input_eps(key, sigma, 1.0, lv_mask, row_sel)
+        feats = jnp.asarray(mask, jnp.float32)[:, None] + eps
+        rk = mk(1, 1, 3, 1)
+
+        def loss_ref(w):
+            return jnp.sum(sparse_conv(feats, w, g_ref.kmaps[spec.key],
+                                       g_ref.kmaps[rk]) * cot)
+
+        def loss_exact(w):
+            return jnp.sum(sparse_ops.sparse_conv_c1z_exact_jitter(
+                w, fm, rfm, jnp.float32, key, sigma, 1.0, lv_mask,
+                row_sel) * cot)
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            o_ref = sparse_conv(feats, w, g_ref.kmaps[spec.key],
+                                g_ref.kmaps[rk])
+            o_x = sparse_ops.sparse_conv_c1z_exact_jitter(
+                w, fm, rfm, jnp.float32, key, sigma, 1.0, lv_mask,
+                row_sel)
+            np.testing.assert_allclose(np.asarray(o_x), np.asarray(o_ref),
+                                       rtol=1e-4, atol=1e-4)
+            gw0 = jax.grad(loss_ref)(w)
+            gw1 = jax.grad(loss_exact)(w)
+            np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+
+    def test_window_support_gate_skips_only_dead_windows(self, rng):
+        """Gated nch produces identical output to full nch when the conv's
+        features vanish off the selected rows; empty selection gates every
+        window off."""
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.types import FusedMap
+        from gcl_tpu.core.types import map_key as mk
+
+        spec, g_ref, g_fused, mask = self._two_cloud_fused(rng)
+        fm = g_fused.fused[spec.key]
+        rfm = g_fused.fused[mk(1, 1, 3, 1)]
+        cap = mask.shape[0]
+        sel = np.zeros(cap, np.float32)
+        sel[:40] = mask[:40]
+        feats = jnp.asarray(
+            rng.randn(cap, 1).astype(np.float32) * sel[:, None] * mask[:, None])
+        w = jnp.asarray(rng.randn(27, 1, 4).astype(np.float32))
+
+        nch_g = sparse_ops.window_support_gate(
+            fm.nch, fm.starts, fm.win, jnp.asarray(sel),
+            fm.tkeys.shape[1])
+        fm_g = FusedMap(fm.qkey, fm.starts, nch_g, fm.tkeys, fm.win)
+
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            full = sparse_ops.sparse_conv_fused(feats, w, fm, rfm)
+            gated = sparse_ops.sparse_conv_fused(feats, w, fm_g, rfm)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+        np.testing.assert_allclose(np.asarray(gated), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+        assert int(jnp.sum(nch_g)) < int(jnp.sum(fm.nch))
+
+        empty = sparse_ops.window_support_gate(
+            fm.nch, fm.starts, fm.win, jnp.zeros((cap,), jnp.float32),
+            fm.tkeys.shape[1])
+        assert int(jnp.sum(empty)) == 0
