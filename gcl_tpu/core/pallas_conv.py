@@ -198,13 +198,15 @@ def _pair_for(k: int, grp: int) -> int:
 
 
 def _pack_qkey_pairs(qp: jax.Array, n_tiles: int, pair: int) -> jax.Array:
-    """[K, n_tiles*TILE] query keys -> [K//pair, n_tiles, pair*TILE]
-    with each row holding `pair` consecutive offsets' keys for one
-    output tile (host-side re-layout; free relative to the kernels)."""
+    """[K, n_tiles*TILE] query keys -> [K//pair, n_tiles*pair*TILE] with
+    each row holding `pair` consecutive offsets' keys per output tile
+    (host-side re-layout; free relative to the kernels). 2-D so the
+    BlockSpec (K//pair, pair*TILE) satisfies Mosaic's (full, %128)
+    block-shape rule for any K//pair."""
     k = qp.shape[0]
     q = qp.reshape(k // pair, pair, n_tiles, TILE)
-    return q.transpose(0, 2, 1, 3).reshape(k // pair, n_tiles,
-                                           pair * TILE)
+    return q.transpose(0, 2, 1, 3).reshape(k // pair,
+                                           n_tiles * pair * TILE)
 
 
 def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
@@ -249,7 +251,7 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
         # pair > 1: qk_ref rows are [pair*TILE] pre-stacked lane vectors
         lo, hi = g * kg // pair, (g + 1) * kg // pair
         for j in range(lo, hi):
-            row = qk_ref[j, 0, :] if pair > 1 else qk_ref[j, :]
+            row = qk_ref[j, :]
             q = row[:, None]  # [pair*TILE, 1]
             oh = (q == tk).astype(dt)
             gx = jnp.dot(oh, win, preferred_element_type=jnp.float32,
@@ -803,6 +805,368 @@ def fused_conv_c1z_dw(sbits: jax.Array, g: jax.Array, k: int,
 
 
 # ----------------------------------------------------------------------
+# folded narrow-channel kernels (Cin in {16, 32, 64})
+# ----------------------------------------------------------------------
+#
+# The generic kernels pad channels to 128 MXU lanes, so a 32-channel
+# window burns 4x the gather-GEMM FLOPs moving zeros (the gather is
+# onehot[TILE, W] @ window[W, 128pad]). Here F = 128 // C consecutive
+# input rows fold into ONE 128-lane window row ([t_pad/F, F*C=128], a
+# free row-major reshape of the padded feature array), the one-hot
+# matches CLUSTERS ([TILE, W/F] — resolved per fold phase j by comparing
+# the query key against phase-sliced keys tkey[F*c + j]), and the
+# gathered cluster row is reduced to the matched C-lane block by
+# per-phase row masks:
+#
+#     gxf = onehot_cluster @ folded_window            # [TILE, 128]
+#     gx  = sum_j  anymatch_phase_j * gxf[:, j*C:(j+1)*C]
+#
+# — 1/F the gather-GEMM width at identical semantics (each query matches
+# at most one (cluster, phase) globally). The accumulate GEMM stacks S
+# consecutive offsets ([TILE, S*C] @ [S*C, Cout]) to cut MXU passes S-x.
+#
+# Mosaic constraint (probed on v5e): DMA slices along the LANE dim must
+# be 128-aligned, while SUBLANE-dim slices are free at tile granularity.
+# Folded FEATURE windows slice sublanes (legal at 32-multiples); folded
+# KEY windows would slice lanes at 32-multiples (illegal), so chunk-0
+# key windows are pre-sliced in plain XLA ([n_tiles, G, F, W/F], a
+# blocked kernel input that Mosaic auto-pipelines). Rare extra chunks
+# (window span > W) fall back to the classic unfolded gather straight
+# from the level's key/feature arrays — exact, just slower, and
+# measured at <3% of group windows at KITTI scale.
+
+
+def _fold_factor(c: int) -> int:
+    """Rows folded per 128-lane window row (1 = generic kernel)."""
+    if os.environ.get("GCL_CONV_FOLD", "1") == "0":
+        return 1
+    return {16: 8, 32: 4, 64: 2}.get(c, 1)
+
+
+def _stack_factor(kg: int) -> int:
+    """Offsets per stacked accumulate GEMM (must divide the dx-group)."""
+    return 3 if kg % 3 == 0 else 1
+
+
+def _fold_tile_windows(tkeys: jax.Array, starts: jax.Array, fold: int,
+                       wf: int) -> Tuple[jax.Array, jax.Array]:
+    """(basef [G, n_tiles], kwin0 [n_tiles, G, F, wf]) chunk-0 key
+    windows pre-sliced in XLA (lane-dim slices at sub-128 offsets are
+    illegal inside Mosaic). tkf[j, c] = tkey[F*c + j]; shared across the
+    convs of a level via CSE."""
+    t_pad = tkeys.shape[1]
+    tkf = tkeys[0].reshape(t_pad // fold, fold).T  # [F, t_pad/F]
+    basef = starts // fold  # starts pre-clamped to t_pad - win
+
+    def tile(bg):  # [G] -> [G, F, wf]
+        return jax.vmap(
+            lambda b: jax.lax.dynamic_slice(tkf, (0, b), (fold, wf)))(bg)
+
+    kwin0 = jax.vmap(tile)(basef.T)  # [n_tiles, G, F, wf]
+    return basef.astype(jnp.int32), kwin0
+
+
+def _gather_folded(qk_ref, kk, kw, xw, C, F, dt, mm_precision):
+    """One offset's gathered rows from a folded window: [TILE, C] f32.
+
+    kw: [F, WF] phase-sliced window keys; xw: [WF, F*C] folded features.
+    """
+    q = qk_ref[kk, :][:, None]
+    ohc = None
+    msel = []
+    for ph in range(F):
+        cmp = q == kw[ph:ph + 1, :]
+        ohc = cmp if ohc is None else ohc | cmp
+        msel.append(jnp.max(cmp.astype(jnp.float32), axis=1,
+                            keepdims=True))
+    gxf = jnp.dot(ohc.astype(dt), xw, preferred_element_type=jnp.float32,
+                  precision=mm_precision)
+    gx = msel[0] * gxf[:, 0:C]
+    for ph in range(1, F):
+        gx = gx + msel[ph] * gxf[:, ph * C:(ph + 1) * C]
+    return gx
+
+
+def _gather_plain(qk_ref, kk, tk, xw, dt, mm_precision):
+    """Classic unfolded gather for extra chunks: [TILE, C] f32."""
+    q = qk_ref[kk, :][:, None]
+    oh = (q == tk).astype(dt)
+    return jnp.dot(oh, xw, preferred_element_type=jnp.float32,
+                   precision=mm_precision)
+
+
+def _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
+                   tk_hbm, xf_hbm, xp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, *, K, G, W, F, S, dt, mm_precision):
+    """Shared (tile, group) schedule of the folded kernels.
+
+    run_gather(kk, kw_or_tk, xw, folded) -> [TILE, C] f32 per offset;
+    accum(sidx, gx_s) consumes the S-stacked gather [TILE, S*C].
+    Chunk-0 windows: folded features via manual double-buffered DMA
+    (sublane slices), keys via the pre-sliced blocked input. Extra
+    chunks: classic unfolded key+feature windows from the level arrays.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    kg = K // G
+    wf = W // F
+    align = 128 // F
+
+    def dma_x(g, tile, slot):
+        base = pl.multiple_of(basef_ref[g, tile], align)
+        return pltpu.make_async_copy(
+            xf_hbm.at[pl.ds(base, wf), :], xwin_ref.at[slot],
+            sems.at[slot, 0])
+
+    def run_group(g, kw, xw, folded):
+        for s in range(kg // S):
+            gxs = []
+            for t in range(S):
+                kk = g * kg + s * S + t
+                gxs.append(run_gather(kk, kw, xw, folded))
+            gx_s = (jnp.concatenate(gxs, axis=1) if S > 1 else gxs[0])
+            accum(g * (kg // S) + s, gx_s)
+
+    @pl.when((i == 0) & (nch_ref[0, 0] > 0))
+    def _():
+        dma_x(0, i, 0).start()
+
+    for g in range(G):
+        slot = jax.lax.rem(i * G + g, 2)
+        if g + 1 < G:
+            @pl.when(nch_ref[g + 1, i] > 0)
+            def _(g=g, slot=slot):
+                dma_x(g + 1, i, 1 - slot).start()
+        else:
+            nxt = jnp.minimum(i + 1, n - 1)
+
+            @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+            def _(slot=slot):
+                dma_x(0, i + 1, 1 - slot).start()
+
+        @pl.when(nch_ref[g, i] > 0)
+        def _(g=g, slot=slot):
+            dma_x(g, i, slot).wait()
+            run_group(g, kwin0_ref[0, g], xwin_ref[slot], True)
+
+        bf0 = basef_ref[g, i]
+
+        def extra(c, carry, g=g, bf0=bf0):
+            base = pl.multiple_of(bf0 * F + c * W, 128)
+            d1 = pltpu.make_async_copy(
+                tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2, 0])
+            d2 = pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(base, W), :], xwin2_ref, sems.at[2, 1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            run_group(g, kwin2_ref[0:1, :], xwin2_ref[:, :], False)
+            return carry
+
+        jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
+
+
+def _fwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, kwin0_ref,
+                     tk_hbm, xf_hbm, xp_hbm, out_ref, xwin_ref, kwin2_ref,
+                     xwin2_ref, acc_ref, sems, *, K, G, W, F, C, S,
+                     mm_precision):
+    dt = xwin2_ref.dtype
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    def run_gather(kk, kw, xw, folded):
+        if folded:
+            return _gather_folded(qk_ref, kk, kw, xw, C, F, dt,
+                                  mm_precision)
+        return _gather_plain(qk_ref, kk, kw, xw, dt, mm_precision)
+
+    def accum(sidx, gx_s):
+        acc_ref[:, :] += jnp.dot(gx_s.astype(dt), w_ref[sidx],
+                                 preferred_element_type=jnp.float32,
+                                 precision=mm_precision)
+
+    _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
+                   tk_hbm, xf_hbm, xp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, K=K, G=G, W=W, F=F, S=S, dt=dt,
+                   mm_precision=mm_precision)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def _bwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, x_ref, kwin0_ref,
+                     tk_hbm, gf_hbm, gp_hbm, dx_ref, dw_ref, xwin_ref,
+                     kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, W, F,
+                     COUT, S, mm_precision):
+    """Folded one-pass backward over the reverse map (see _bwd_kernel):
+    gathers the upstream grad g (COUT channels, folded by F = 128//COUT),
+    accumulates dX = sum gg @ w_rev and dW^s = x^T @ [gg stacked by S].
+    w_ref: [K//S, S*COUT, C] stacked swapaxes(W[::-1], 1, 2); dw_ref
+    accumulates [K//S, C, S*COUT] in reverse offset order (the wrapper
+    unstacks + flips)."""
+    i = pl.program_id(0)
+    dt = xwin2_ref.dtype
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+
+    xt_t = x_ref[:, :]  # [C, TILE] pre-transposed forward inputs
+
+    def run_gather(kk, kw, xw, folded):
+        if folded:
+            return _gather_folded(qk_ref, kk, kw, xw, COUT, F, dt,
+                                  mm_precision)
+        return _gather_plain(qk_ref, kk, kw, xw, dt, mm_precision)
+
+    def accum(sidx, gg_s):
+        ggd = gg_s.astype(dt)  # [TILE, S*COUT]
+        acc_ref[:, :] += jnp.dot(ggd, w_ref[sidx],
+                                 preferred_element_type=jnp.float32,
+                                 precision=mm_precision)
+        dw_ref[sidx, :, :] += jnp.dot(xt_t, ggd,
+                                      preferred_element_type=jnp.float32,
+                                      precision=mm_precision)
+
+    _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
+                   tk_hbm, gf_hbm, gp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, K=K, G=G, W=W, F=F, S=S, dt=dt,
+                   mm_precision=mm_precision)
+    dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
+
+
+def _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys, win,
+                   interpret):
+    """Forward dispatch for folded Cin (see the section comment)."""
+    n_in, c0 = feats.shape
+    k, n_out = qkey.shape
+    grp, n_tiles = starts.shape
+    t_pad = tkeys.shape[1]
+    cout0 = weights.shape[-1]
+    fold = 128 // c0
+    wf = win // fold
+    kg = k // grp
+    s_st = _stack_factor(kg)
+    qp = _pad_qkey(qkey, n_tiles)
+    basef, kwin0 = _fold_tile_windows(tkeys, starts, fold, wf)
+    xp = jnp.zeros((t_pad, c0), feats.dtype).at[:n_in].set(feats)
+    xf = xp.reshape(t_pad // fold, 128)
+    ws = weights.astype(feats.dtype).reshape(k // s_st, s_st * c0, cout0)
+
+    kern = functools.partial(_fwd_fold_kernel, K=k, G=grp, W=win, F=fold,
+                             C=c0, S=s_st,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // s_st, s_st * c0, cout0),
+                         lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, fold, wf), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wf, 128), feats.dtype),
+            pltpu.VMEM((8, win), jnp.int32),
+            pltpu.VMEM((win, c0), feats.dtype),
+            pltpu.VMEM((TILE, cout0), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout0),
+                                       feats.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n_tiles * TILE * (wf * 128 + c0 * cout0),
+            bytes_accessed=(n_tiles * grp * wf * 128 * feats.dtype.itemsize
+                            + n_tiles * TILE * cout0 * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(basef, nch, qp, ws, kwin0, tkeys, xf, xp)
+    return out[:n_out]
+
+
+def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
+                   interpret):
+    """(dX, dW) one-pass folded backward (Cout in {16, 32, 64})."""
+    n_in, c0 = feats.shape
+    n_out, cout0 = g.shape
+    k = rqkey.shape[0]
+    grp, n_tiles = rstarts.shape
+    t_pad = rtkeys.shape[1]
+    fold = 128 // cout0
+    wf = rwin // fold
+    kg = k // grp
+    s_st = _stack_factor(kg)
+    qp = _pad_qkey(rqkey, n_tiles)
+    basef, kwin0 = _fold_tile_windows(rtkeys, rstarts, fold, wf)
+    gp = jnp.zeros((t_pad, cout0), feats.dtype).at[:n_out].set(
+        g.astype(feats.dtype))
+    gf = gp.reshape(t_pad // fold, 128)
+    w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+    ws = w_rev_t.reshape(k // s_st, s_st * cout0, c0)
+    xp = jnp.zeros((c0, n_tiles * TILE), feats.dtype).at[
+        :, :n_in].set(feats.T)
+
+    kern = functools.partial(_bwd_fold_kernel, K=k, G=grp, W=rwin, F=fold,
+                             COUT=cout0, S=s_st,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // s_st, s_st * cout0, c0),
+                         lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, fold, wf), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, c0), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // s_st, c0, s_st * cout0),
+                         lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wf, 128), feats.dtype),
+            pltpu.VMEM((8, rwin), jnp.int32),
+            pltpu.VMEM((rwin, cout0), feats.dtype),
+            pltpu.VMEM((TILE, c0), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+    )
+    dx, dws = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, c0), feats.dtype),
+            jax.ShapeDtypeStruct((k // s_st, c0, s_st * cout0),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(basef, rnch, qp, ws, xp, kwin0, rtkeys, gf, gp)
+    dw_rev = dws.reshape(k // s_st, c0, s_st, cout0)
+    dw_rev = jnp.transpose(dw_rev, (0, 2, 1, 3)).reshape(k, c0, cout0)
+    return dx[:n_in], dw_rev[::-1]
+
+
+# ----------------------------------------------------------------------
 # wrappers
 # ----------------------------------------------------------------------
 
@@ -974,6 +1338,9 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     if cout0 == 1:
         return _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys,
                              win, interpret)
+    if _fold_factor(c0) > 1 and win % _fold_factor(c0) == 0:
+        return _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys,
+                              win, interpret)
     qp = _pad_qkey(qkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     xp = _pad_feats(feats, t_pad, c)
@@ -983,8 +1350,8 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     pair = _pair_for(k, grp)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
-        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
-                              lambda i, *_: (0, i, 0),
+        q_spec = pl.BlockSpec((k // pair, pair * TILE),
+                              lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM)
     else:
         q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
@@ -1052,8 +1419,8 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     pair = _pair_for(k, grp)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
-        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
-                              lambda i, *_: (0, i, 0),
+        q_spec = pl.BlockSpec((k // pair, pair * TILE),
+                              lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM)
     else:
         q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
@@ -1130,6 +1497,10 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     grp = rstarts.shape[0]
     n_tiles = rstarts.shape[1]
     t_pad = rtkeys.shape[1]
+    if (_fold_factor(cout0) > 1 and c0 > 1
+            and rwin % _fold_factor(cout0) == 0):
+        return _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch,
+                              rtkeys, rwin, interpret)
     qp = _pad_qkey(rqkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
@@ -1142,8 +1513,8 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     pair = _pair_for(k, grp)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
-        q_spec = pl.BlockSpec((k // pair, 1, pair * TILE),
-                              lambda i, *_: (0, i, 0),
+        q_spec = pl.BlockSpec((k // pair, pair * TILE),
+                              lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM)
     else:
         q_spec = pl.BlockSpec((k, TILE), lambda i, *_: (0, i),

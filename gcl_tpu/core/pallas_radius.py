@@ -171,22 +171,23 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
 
 def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
                         ti_hbm, tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref,
-                        sems, *, P, KN):
-    """Packed-value variant of _topk_kernel for t_cap < 2^15.
+                        sems, *, P, KN, ROWB):
+    """Packed-value variant of _topk_kernel for t_cap < 2^ROWB.
 
-    Each candidate becomes one int32 `(quantized_d2 << 15) | target_row`
+    Each candidate becomes one int32 `(quantized_d2 << ROWB) | row`
     (invalid -> INT32_MAX). Rows are unique within a window, so packed
     values are unique: every top-k extraction is ONE min-reduce plus ONE
     equality-masked removal — no first-occurrence argmin machinery, no
     separate row resolution — cutting the extraction loop from ~6 to 2
     VPU passes over the [TILE, WIN] array. d2 is exact-filtered against
-    r^2 BEFORE quantization (16 bits over [0, r^2]), so hit/miss is
-    exact; only the ordering of candidates within r^2/65536 of each
-    other can differ from the exact kernel.
-    """
+    r^2 BEFORE quantization (31 - ROWB bits over [0, r^2]), so hit/miss
+    is exact; only the ordering of candidates within r^2 / 2^(31-ROWB)
+    of each other can differ from the exact kernel (>= 12 bits — the
+    caller gates on it)."""
     r2 = r2_ref[pl.program_id(0)]
-    scale = 65535.0 / jnp.maximum(r2, 1e-12)
-    inv_scale = jnp.maximum(r2, 1e-12) / 65535.0
+    qmax = float((1 << (31 - ROWB)) - 1)
+    scale = qmax / jnp.maximum(r2, 1e-12)
+    inv_scale = jnp.maximum(r2, 1e-12) / qmax
     maxv = jnp.int32(0x7FFFFFFF)
 
     best = jnp.full((TILE, KN), maxv, jnp.int32)
@@ -202,11 +203,11 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
         for a in range(3):
             diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
             d2 = d2 + diff * diff
-        # clamp to 65534, not 65535: (65535 << 15) | 0x7FFF would equal
-        # the maxv invalid sentinel, silently dropping a genuine
-        # boundary candidate stored at window row 0x7FFF
-        qd = jnp.minimum(d2 * scale, 65534.0).astype(jnp.int32)
-        packed = (qd << 15) | jnp.broadcast_to(trow, (TILE, WIN))
+        # clamp to qmax - 1, not qmax: (qmax << ROWB) | max_row would
+        # equal the maxv invalid sentinel, silently dropping a genuine
+        # boundary candidate stored at the last addressable window row
+        qd = jnp.minimum(d2 * scale, qmax - 1.0).astype(jnp.int32)
+        packed = (qd << ROWB) | jnp.broadcast_to(trow, (TILE, WIN))
         pm = jnp.where(cand & (d2 <= r2), packed, maxv)
         for _ in range(KN):
             m = jnp.min(pm, axis=1)  # unique -> exact one element
@@ -230,9 +231,9 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
         m = jnp.min(best, axis=1)
         best = jnp.where(best == m[:, None], jnp.int32(0x7FFFFFFF), best)
         hit = m != jnp.int32(0x7FFFFFFF)
-        orow_ref[0, :, j] = jnp.where(hit, m & 0x7FFF, -1)
+        orow_ref[0, :, j] = jnp.where(hit, m & ((1 << ROWB) - 1), -1)
         od2_ref[0, :, j] = jnp.where(
-            hit, (m >> 15).astype(jnp.float32) * inv_scale, _BIG)
+            hit, (m >> ROWB).astype(jnp.float32) * inv_scale, _BIG)
 
 
 def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,

@@ -436,6 +436,39 @@ class TestFusedGraph:
         coords, mask = self._coords(rng)
         self._check(rng, coords, mask, in_s, out_s, k)
 
+    @pytest.mark.parametrize("cin,cout,in_s,out_s", [
+        (32, 32, 1, 1), (64, 64, 1, 1), (32, 64, 1, 2), (64, 32, 2, 1),
+        (16, 16, 1, 1)])
+    def test_fused_folded_channels(self, rng, cin, cout, in_s, out_s):
+        """Narrow-channel geometries route through the folded kernels
+        (pallas_conv._conv_fold_fwd/_conv_fold_bwd, F = 128 // C) and
+        must match the explicit map forward + dX/dW, including the
+        mixed-fold case (fwd folds Cin, bwd folds Cout)."""
+        from gcl_tpu.core.pallas_conv import _fold_factor
+        assert _fold_factor(cin) > 1
+        coords, mask = self._coords(rng)
+        self._check(rng, coords, mask, in_s, out_s, 3, tol=1e-4,
+                    cin=cin, cout=cout)
+
+    def test_fused_folded_multichunk(self, rng):
+        """Folded path with window spans > win: extra chunks take the
+        in-kernel classic unfolded fallback and must still be exact."""
+        xs, ys, zs = 2, 14, 64
+        coords = np.array([(0, x, y, z - 32) for x in range(xs)
+                           for y in range(ys) for z in range(zs)],
+                          np.int32)
+        n = len(coords)
+        cap = n + 128
+        full = np.full((cap, 4), -1, np.int32)
+        full[:, 0] = int(INVALID_BATCH)
+        full[:n] = coords
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        fm = self._check(rng, full, mask, 1, 1, 3, tol=1e-4,
+                         cin=32, cout=32)
+        assert int(np.asarray(fm.nch).max()) > 1, \
+            "geometry failed to produce a multi-chunk window"
+
     def test_fused_multichunk_windows(self, rng):
         """Group spans wider than one window chunk (nch > 1) must hit
         the kernels' extra-chunk path and still match the explicit map.
@@ -459,7 +492,8 @@ class TestFusedGraph:
         assert int(np.asarray(fm.nch).max()) > 1, \
             "geometry failed to produce a multi-chunk window"
 
-    def _check(self, rng, coords, mask, in_s, out_s, k, tol=1e-5):
+    def _check(self, rng, coords, mask, in_s, out_s, k, tol=1e-5,
+               cin=4, cout=6):
         from gcl_tpu.core import sparse_ops
         from gcl_tpu.core.types import map_key as mk
 
@@ -473,8 +507,6 @@ class TestFusedGraph:
                               sorted_blocks=True)
         assert g_fused.fused is not None and spec.key in g_fused.fused
         rk = mk(out_s, in_s, k, 1)
-
-        cin, cout = 4, 6
         feats = rng.randn(caps[in_s], cin).astype(np.float32)
         feats *= np.asarray(g_ref.levels[in_s].mask)[:, None]
         w = rng.randn(k ** 3, cin, cout).astype(np.float32)
