@@ -8,19 +8,30 @@ and the SGD update — everything the reference splits across CPU workers
 and the GPU — as one XLA program.
 
 Baseline: the reference (MinkowskiEngine + Open3D data workers, RTX 3090)
-trains GCL-KITTI at ~0.66 s/step for this batch shape (200-epoch run,
-~1300 steps/epoch, ~2 days wall clock reported for the shipped config) —
-about 6.4e5 voxels/s through the model. vs_baseline below is
+trains GCL-KITTI at ~0.81 s/step for this batch shape (200-epoch run,
+~1300 steps/epoch, ~2 days wall clock reported for the shipped config;
+see BASELINE.md). At 516,096 padded voxels per step that is
+~6.4e5 voxels/s through the model. vs_baseline below is
 (our voxels/s) / (6.4e5 voxels/s); > 1 means faster than the reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Flags: --batch_size N (default 4 — the reference shape; the TPU fits
+larger batches, voxels/s is the comparable metric), --data_parallel
+(run the shard_map data-parallel step over all visible devices — on a
+single chip this proves the sharded step costs nothing over the plain
+one), --jitter_mode {input,c1z}.
 """
+import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Single source: BASELINE.md — the reference trains this shape at
+# ~0.81 s/step on an RTX 3090 = 516,096 padded voxels / 0.81 s.
 BASELINE_VOXELS_PER_SEC = 6.4e5
 
 
@@ -40,6 +51,15 @@ def synth_lidar(rng, n_points):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int,
+                    default=int(os.environ.get("GCL_BENCH_BATCH", "4")))
+    ap.add_argument("--data_parallel", action="store_true")
+    ap.add_argument("--jitter_mode", type=str,
+                    default=os.environ.get("GCL_JITTER_MODE", "input"),
+                    choices=["input", "c1z"])
+    flags = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -47,14 +67,14 @@ def main():
     from gcl_tpu.losses.gcl import GCLLossConfig
     from gcl_tpu.models.resunet import ResUNetFatBN
     from gcl_tpu.train.steps import (StepConfig, TrainState,
-                                     make_gcl_train_step, make_optimizer)
+                                     make_gcl_grad_fn, make_gcl_train_step,
+                                     make_optimizer)
     from gcl_tpu.core.kernel_maps import build_graph
 
-    # train_gcl_kitti.sh: BATCH_SIZE=4, 6 neighbors. GCL_BENCH_BATCH
-    # overrides the batch (the TPU fits larger batches than the
-    # reference's consumer GPU; voxels/s is the comparable metric).
-    import os
-    b, n_clouds = int(os.environ.get("GCL_BENCH_BATCH", "4")), 7
+    # train_gcl_kitti.sh: BATCH_SIZE=4, 6 neighbors.
+    b, n_clouds = flags.batch_size, 7
+    n_dev = len(jax.devices()) if flags.data_parallel else 1
+    assert b % n_dev == 0, f"batch {b} not divisible by {n_dev} devices"
     p_cap = 65536       # points per cloud fed to the voxelizer
     nv_cap = 18432      # ~KITTI voxel count at 0.3 m
     model = ResUNetFatBN(1, 32, bn_momentum=0.05, normalize_feature=True,
@@ -62,19 +82,32 @@ def main():
     specs = ResUNetFatBN.conv_specs(5)
     strides = sorted({s for sp in specs
                       for s in (sp.in_stride, sp.out_stride)})
-    n_flat = b * n_clouds * nv_cap
+    b_shard = b // n_dev  # static capacities are PER SHARD
+    n_flat = b_shard * n_clouds * nv_cap
     cfg = StepConfig(voxel_size=0.3, nv_cap=nv_cap,
                      level_caps=default_level_caps(n_flat, strides, 0.55),
                      knn_chunk=1024, pos_pair_cap=1 << 21,
                      search_cell=1.08,  # 2 * (0.45 search radius) * 1.2
-                     jitter_mode=os.environ.get("GCL_JITTER_MODE",
-                                                "input"),
+                     jitter_mode=flags.jitter_mode,
                      compute_dtype=jnp.bfloat16)
 
-    tx, step = make_gcl_train_step(
-        model, specs, cfg, GCLLossConfig(block_finest_gradient=False),
-        "finest", max_pos_cluster=256 * b, max_hn_samples=256 * b,
-        pos_weight=1.0, finest_weight=1.0, neg_weight=1.0)
+    loss_args = dict(max_pos_cluster=256 * b_shard,
+                     max_hn_samples=256 * b_shard,
+                     pos_weight=1.0, finest_weight=1.0, neg_weight=1.0)
+    mesh = None
+    if flags.data_parallel:
+        from gcl_tpu.parallel import make_mesh
+        from gcl_tpu.parallel.mesh import (host_to_global,
+                                           make_parallel_train_step)
+        mesh = make_mesh(n_dev)
+        grad_fn = make_gcl_grad_fn(
+            model, specs, cfg, GCLLossConfig(block_finest_gradient=False),
+            "finest", **loss_args)
+        tx, step = make_parallel_train_step(grad_fn, cfg, mesh)
+    else:
+        tx, step = make_gcl_train_step(
+            model, specs, cfg, GCLLossConfig(block_finest_gradient=False),
+            "finest", **loss_args)
 
     # init
     cap = 64
@@ -102,13 +135,17 @@ def main():
             transforms[i, c, :3, 3] = [((c + 1) // 2) * 8.0
                                        * (1 if c % 2 else -1), 0, 0]
     radius = np.full((b,), 0.45, np.float32)
-    args = (jnp.asarray(points), jnp.asarray(pmask),
-            jnp.asarray(transforms), jnp.asarray(radius))
+    if mesh is not None:
+        args = host_to_global(mesh, points, pmask, transforms, radius)
+    else:
+        args = (jnp.asarray(points), jnp.asarray(pmask),
+                jnp.asarray(transforms), jnp.asarray(radius))
 
     # warmup (compile) + 1 step
     state, metrics = step(state, 0.1, *args)
     jax.block_until_ready(metrics["loss"])
-    n_vox = float(metrics["num_valid_voxels"])
+    # parallel metrics are pmean'd per shard; scale back to the full batch
+    n_vox = float(metrics["num_valid_voxels"]) * n_dev
 
     iters = 10
     t0 = time.perf_counter()

@@ -8,6 +8,7 @@ access (the reference wraps with easydict and probes `config.items()`).
 from __future__ import annotations
 
 import argparse
+import os
 
 arg_lists = []
 parser = argparse.ArgumentParser()
@@ -206,6 +207,31 @@ tpu_arg.add_argument("--distributed_init", type=str2bool, default=False,
                      help="call jax.distributed.initialize() for "
                           "multi-host meshes (set JAX coordinator env "
                           "vars; each host feeds its own batch shard)")
+tpu_arg.add_argument(
+    "--conv_tile", type=int,
+    default=int(os.environ.get("GCL_CONV_TILE", "256")),
+    help="Pallas conv kernel: output rows per grid step")
+tpu_arg.add_argument(
+    "--conv_win", type=int,
+    default=int(os.environ.get("GCL_CONV_WIN", "384")),
+    help="Pallas conv kernel: gather window rows for same-level and "
+         "upsample maps (multiple of 128)")
+tpu_arg.add_argument(
+    "--conv_win_down", type=int,
+    default=int(os.environ.get(
+        "GCL_CONV_WIN_DOWN",
+        str(2 * int(os.environ.get("GCL_CONV_WIN", "384"))))),
+    help="Pallas conv kernel: gather window rows for downsample maps "
+         "(multiple of 128; they see ~2x rows per output tile)")
+tpu_arg.add_argument(
+    "--conv_pair", type=int,
+    default=int(os.environ.get("GCL_CONV_PAIR", "1")),
+    help="Pallas conv kernel: offsets gathered per one-hot MXU pass")
+tpu_arg.add_argument(
+    "--conv_fold", type=str2bool,
+    default=os.environ.get("GCL_CONV_FOLD", "0") == "1",
+    help="fold narrow channels (C<128) into 128-lane gather windows "
+         "(exact; currently a net step-time loss at bench scale)")
 tpu_arg.add_argument("--jitter_feats", type=str2bool, default=True,
                      help="train-phase feature jitter (lib/transforms.py)")
 tpu_arg.add_argument("--jitter_mode", type=str, default="input",

@@ -34,6 +34,11 @@ from .coords import coord_keys, kernel_offsets, lookup, sort_by_keys
 from .types import (INVALID_BATCH, FusedMap, LevelCoords, SparseGraph,
                     map_key)
 
+# Off-TPU check legs set this (gcl_tpu.testing.kernel_interpret) so
+# method='auto' still selects the fused Mosaic conv path, traced in
+# Pallas interpret mode — kernel breakage then fails on CPU too.
+FORCE_FUSED_INTERPRET = False
+
 
 @dataclasses.dataclass(frozen=True)
 class ConvSpec:
@@ -373,7 +378,9 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     tkeys = {}
     upks = {}
     for s, lv in levels.items():
-        t_pad = -(-(lv.coords.shape[0] + max_win()) // 128) * 128
+        # 1024-aligned (= F*128 at the deepest fold) so the folded conv
+        # kernels' [t_pad/F, ...] arrays keep 128-multiple row counts
+        t_pad = -(-(lv.coords.shape[0] + max_win()) // 1024) * 1024
         tkeys[s] = _level_tkeys(lv, s, t_pad)
         # sign-flipped packed keys in the level's sorted-key order (the
         # window search space; same order as (key_hi, key_lo)). A valid
@@ -564,14 +571,19 @@ def build_graph(coords: jax.Array, mask: jax.Array,
 
     if method == "auto":
         from .pallas_conv import pallas_available
+        # fused windows require the original row order to be
+        # cloud-blocked key-sorted (queries monotone per offset,
+        # level perm increasing on the valid prefix) AND a declared
+        # cloud count small enough for the mod-31 fold to be exact
+        fused_ok = (sorted_blocks and n_clouds is not None
+                    and n_clouds <= 31)
         if pallas_available():
-            # fused windows require the original row order to be
-            # cloud-blocked key-sorted (queries monotone per offset,
-            # level perm increasing on the valid prefix) AND a declared
-            # cloud count small enough for the mod-31 fold to be exact
-            fused_ok = (sorted_blocks and n_clouds is not None
-                        and n_clouds <= 31)
             method = "fused" if fused_ok else "pallas"
+        elif FORCE_FUSED_INTERPRET and fused_ok:
+            # CPU check legs (tests/__graft_entry__) trace the Mosaic
+            # conv kernels in interpret mode so signature/shape breakage
+            # fails off-TPU too (sparse_ops.FORCE_INTERPRET must be on)
+            method = "fused"
         else:
             method = "sortjoin"
 
@@ -586,12 +598,15 @@ def build_graph(coords: jax.Array, mask: jax.Array,
         # give them explicit maps instead; SparseConv falls back per-map.
         fusable = [sp for sp in uniq if sp.kernel_size % 2 == 1]
         rest = [sp for sp in uniq if sp.kernel_size % 2 == 0]
+        from .pallas_conv import pallas_available
+        interp = FORCE_FUSED_INTERPRET and not pallas_available()
         kmaps = {}
         for sp in rest:
             offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
             kmaps[sp.key] = _build_kmap_pallas(levels[sp.out_stride],
                                                levels[sp.in_stride],
-                                               sp.in_stride, offsets)
+                                               sp.in_stride, offsets,
+                                               interpret=interp)
         return SparseGraph(levels=levels, kmaps=kmaps,
                            fused=_build_fused_maps(levels, fusable))
 

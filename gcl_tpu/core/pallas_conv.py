@@ -63,6 +63,45 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = int(os.environ.get("GCL_CONV_TILE", "256"))  # out rows / grid step
 WIN = int(os.environ.get("GCL_CONV_WIN", "384"))    # window rows (mult 128)
 
+
+def configure(*, tile: int = None, win: int = None, win_down: int = None,
+              pair: int = None, fold: bool = None) -> None:
+    """Override the kernel tuning knobs from the config system.
+
+    The env vars (GCL_CONV_TILE/WIN/WIN_DOWN/PAIR/FOLD) only provide the
+    *defaults*; runs launched through the config system pass the
+    config's --conv_* flags here so the effective tuning is persisted in
+    the run's config.json and the run is reproducible from it alone.
+    Must be called before any step function is traced — the window
+    tables baked into kernel maps depend on these values.
+    """
+    global TILE, WIN, WIN_DOWN, PAIR, FOLD
+    if tile is not None:
+        TILE = int(tile)
+    if win is not None:
+        assert win % 128 == 0, f"conv_win must be a multiple of 128: {win}"
+        WIN = int(win)
+    if win_down is not None:
+        assert win_down % 128 == 0, \
+            f"conv_win_down must be a multiple of 128: {win_down}"
+        WIN_DOWN = int(win_down)
+    if pair is not None:
+        PAIR = int(pair)
+    if fold is not None:
+        FOLD = bool(fold)
+
+
+def configure_from(config) -> None:
+    """Apply a run config's --conv_* tuning flags (gcl_tpu/config.py).
+
+    Missing attributes keep the current (env-default) values, so configs
+    restored from older runs' config.json stay loadable."""
+    configure(tile=getattr(config, "conv_tile", None),
+              win=getattr(config, "conv_win", None),
+              win_down=getattr(config, "conv_win_down", None),
+              pair=getattr(config, "conv_pair", None),
+              fold=getattr(config, "conv_fold", None))
+
 # int32 key guaranteed absent from every packed target-key array:
 # 0xFFFFFFFE sits above the PAD_CLOUD target range (0xF8000000 + row,
 # row < 2^26) and below no valid cloud<31 key; the identity-key test
@@ -118,8 +157,14 @@ def win_for_map(in_stride: int, out_stride: int) -> int:
 
 
 def max_win() -> int:
-    """Largest window any map may use (level padding must cover it)."""
-    return max(2 * WIN, WIN_DOWN)
+    """Level-padding slack every map's windows must fit inside.
+
+    Covers the widest classic window (max(2*WIN, WIN_DOWN)) PLUS the
+    folded kernels' re-windowing overshoot: _fold_windows rounds starts
+    down to F*128 and widths up to an F*128 multiple, so folded
+    coverage can end up to one folded window (win + 1024 worst case at
+    F=8) past the classic coverage end."""
+    return max(2 * WIN, WIN_DOWN) + max(WIN, WIN_DOWN) + 1024
 
 
 def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
@@ -169,7 +214,10 @@ def _fused_from_idx(feats_len, idx):
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=n_in)
     starts, nch = compute_windows(idx, n_in + WIN, n_tiles, grp)
-    t_pad = _cdiv(n_in + WIN, 128) * 128
+    # 1024-aligned (= F*128 at the deepest fold) so the folded kernels'
+    # reshape [t_pad/F, 128] keeps 128-multiple row counts, and padded
+    # past max_win so their re-windowed coverage stays in bounds
+    t_pad = _cdiv(n_in + max_win(), 1024) * 1024
     tkeys = jnp.full((8, t_pad), -1, jnp.int32)
     tkeys = tkeys.at[0, :n_in].set(jnp.arange(n_in, dtype=jnp.int32))
     return qkey, starts, nch, tkeys
@@ -190,6 +238,10 @@ def _fused_from_idx(feats_len, idx):
 # not cross dx-group boundaries (each group has its own window), so it
 # applies when PAIR divides K/G — kg = 9 for the k=3 stencils.
 PAIR = int(os.environ.get("GCL_CONV_PAIR", "1"))
+
+# Folded narrow-channel kernels (see the fold block further down). Off by
+# default: exact but a net step-time loss at bench scale.
+FOLD = os.environ.get("GCL_CONV_FOLD", "0") == "1"
 
 
 def _pair_for(k: int, grp: int) -> int:
@@ -825,20 +877,32 @@ def fused_conv_c1z_dw(sbits: jax.Array, g: jax.Array, k: int,
 # at most one (cluster, phase) globally). The accumulate GEMM stacks S
 # consecutive offsets ([TILE, S*C] @ [S*C, Cout]) to cut MXU passes S-x.
 #
-# Mosaic constraint (probed on v5e): DMA slices along the LANE dim must
-# be 128-aligned, while SUBLANE-dim slices are free at tile granularity.
-# Folded FEATURE windows slice sublanes (legal at 32-multiples); folded
-# KEY windows would slice lanes at 32-multiples (illegal), so chunk-0
-# key windows are pre-sliced in plain XLA ([n_tiles, G, F, W/F], a
-# blocked kernel input that Mosaic auto-pipelines). Rare extra chunks
-# (window span > W) fall back to the classic unfolded gather straight
-# from the level's key/feature arrays — exact, just slower, and
-# measured at <3% of group windows at KITTI scale.
+# Mosaic constraint (probed on v5e): manual-DMA slices must be
+# tile-aligned in BOTH dims — lane offsets/widths at 128-multiples,
+# sublane offsets at the dtype's tile (8/f32, 16/bf16) — and the
+# array's minor dim itself must be a 128-multiple (a [t_pad, 32]
+# feature array cannot be window-sliced at all: Mosaic pads its minor
+# to 128 physically and then rejects the 32-lane slice). So the folded
+# kernels re-window the map: starts round DOWN to F*128 (the folded
+# row base starts//F lands 128-aligned) and the width rounds UP to an
+# F*128 multiple (_fold_windows), which makes EVERY chunk — first and
+# extra alike — a legal full-width slice of two purpose-laid arrays:
+# phase-sliced keys tkf [8, t_pad/F] (row ph = keys of rows r*F+ph;
+# lane slice at 128-multiples) and folded features xf [t_pad/F, 128]
+# (sublane slice). Extra chunks therefore run the SAME folded gather
+# as chunk 0 — no unfolded fallback path exists anymore.
 
 
 def _fold_factor(c: int) -> int:
-    """Rows folded per 128-lane window row (1 = generic kernel)."""
-    if os.environ.get("GCL_CONV_FOLD", "1") == "0":
+    """Rows folded per 128-lane window row (1 = generic kernel).
+
+    Off by default: at bench scale the folded kernels are numerically
+    exact on TPU (fwd+bwd vs the explicit map, extra chunks included)
+    but a NET step-time loss (0.95 s vs 0.71 s full-step) — the
+    narrower gather GEMMs don't yet pay for the extra per-offset VPU
+    phase masking. Kept behind --conv_fold / GCL_CONV_FOLD=1 for
+    per-map tuning."""
+    if not FOLD:
         return 1
     return {16: 8, 32: 4, 64: 2}.get(c, 1)
 
@@ -848,28 +912,44 @@ def _stack_factor(kg: int) -> int:
     return 3 if kg % 3 == 0 else 1
 
 
-def _fold_tile_windows(tkeys: jax.Array, starts: jax.Array, fold: int,
-                       wf: int) -> Tuple[jax.Array, jax.Array]:
-    """(basef [G, n_tiles], kwin0 [n_tiles, G, F, wf]) chunk-0 key
-    windows pre-sliced in XLA (lane-dim slices at sub-128 offsets are
-    illegal inside Mosaic). tkf[j, c] = tkey[F*c + j]; shared across the
-    convs of a level via CSE."""
+def _fold_windows(starts: jax.Array, nch: jax.Array, win: int, fold: int,
+                  t_pad: int) -> Tuple[jax.Array, jax.Array, int]:
+    """F*128-aligned folded window tables from a map's 128-aligned ones.
+
+    starts round DOWN to F*128 (so basef = starts_f/F is 128-aligned in
+    the folded row space) and the chunk width rounds UP to an F*128
+    multiple; chunk counts grow so coverage [starts, starts + nch*win)
+    stays covered. The overshoot past the original coverage end is
+    < win_f <= win + 896, absorbed by the level padding (max_win).
+
+    Returns (basef int32[G, nt] folded-row starts, nchf int32[G, nt],
+    wf: folded chunk width — a static 128-multiple).
+    """
+    a = fold * 128
+    winf = a * _cdiv(win, a)
+    starts_f = starts & ~(a - 1)
+    end = starts + nch * win
+    nchf = jnp.where(nch > 0, -(-(end - starts_f) // winf), 0)
+    nchf = jnp.clip(nchf, 0, t_pad // winf)
+    return (starts_f // fold).astype(jnp.int32), nchf.astype(jnp.int32), \
+        winf // fold
+
+
+def _fold_keys(tkeys: jax.Array, fold: int) -> jax.Array:
+    """[8, t_pad/F] phase-sliced level keys: row ph holds the packed
+    keys of original rows r*F + ph (matching xf[r, ph*C:(ph+1)*C] =
+    x[r*F + ph]). Rows F..8 are never read — zero-padded only so the
+    manual key-window DMA copies full int32 sublane tiles."""
     t_pad = tkeys.shape[1]
     tkf = tkeys[0].reshape(t_pad // fold, fold).T  # [F, t_pad/F]
-    basef = starts // fold  # starts pre-clamped to t_pad - win
-
-    def tile(bg):  # [G] -> [G, F, wf]
-        return jax.vmap(
-            lambda b: jax.lax.dynamic_slice(tkf, (0, b), (fold, wf)))(bg)
-
-    kwin0 = jax.vmap(tile)(basef.T)  # [n_tiles, G, F, wf]
-    return basef.astype(jnp.int32), kwin0
+    return jnp.pad(tkf, ((0, 8 - fold), (0, 0)))
 
 
 def _gather_folded(qk_ref, kk, kw, xw, C, F, dt, mm_precision):
     """One offset's gathered rows from a folded window: [TILE, C] f32.
 
-    kw: [F, WF] phase-sliced window keys; xw: [WF, F*C] folded features.
+    kw: [8, WF] phase-sliced window keys (rows 0..F read); xw:
+    [WF, F*C=128] folded features.
     """
     q = qk_ref[kk, :][:, None]
     ohc = None
@@ -887,114 +967,110 @@ def _gather_folded(qk_ref, kk, kw, xw, C, F, dt, mm_precision):
     return gx
 
 
-def _gather_plain(qk_ref, kk, tk, xw, dt, mm_precision):
-    """Classic unfolded gather for extra chunks: [TILE, C] f32."""
-    q = qk_ref[kk, :][:, None]
-    oh = (q == tk).astype(dt)
-    return jnp.dot(oh, xw, preferred_element_type=jnp.float32,
-                   precision=mm_precision)
-
-
-def _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
-                   tk_hbm, xf_hbm, xp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
-                   sems, *, K, G, W, F, S, dt, mm_precision):
+def _fold_pipeline(run_gather, accum, basef_ref, nchf_ref, tkf_hbm,
+                   xf_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, *, K, G, WF, S):
     """Shared (tile, group) schedule of the folded kernels.
 
-    run_gather(kk, kw_or_tk, xw, folded) -> [TILE, C] f32 per offset;
-    accum(sidx, gx_s) consumes the S-stacked gather [TILE, S*C].
-    Chunk-0 windows: folded features via manual double-buffered DMA
-    (sublane slices), keys via the pre-sliced blocked input. Extra
-    chunks: classic unfolded key+feature windows from the level arrays.
+    run_gather(kk, kw, xw) -> [TILE, C] f32 per offset; accum(sidx,
+    gx_s) consumes the S-stacked gather [TILE, S*C]. Every chunk DMAs a
+    [8, WF] key slab + [WF, 128] feature slab from the folded level
+    arrays (basef pre-aligned to 128 folded rows, WF a 128-multiple, so
+    both slices are tile-legal). Chunk 0 double-buffers across the
+    (tile, group) sequence; rare extra chunks are synchronous.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     kg = K // G
-    wf = W // F
-    align = 128 // F
 
-    def dma_x(g, tile, slot):
-        base = pl.multiple_of(basef_ref[g, tile], align)
-        return pltpu.make_async_copy(
-            xf_hbm.at[pl.ds(base, wf), :], xwin_ref.at[slot],
-            sems.at[slot, 0])
+    def dmas(g, tile, slot):
+        base = pl.multiple_of(basef_ref[g, tile], 128)
+        return (pltpu.make_async_copy(
+                    tkf_hbm.at[:, pl.ds(base, WF)], kwin_ref.at[slot],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    xf_hbm.at[pl.ds(base, WF), :], xwin_ref.at[slot],
+                    sems.at[slot, 1]))
 
-    def run_group(g, kw, xw, folded):
+    def start(g, tile, slot):
+        dk, dx = dmas(g, tile, slot)
+        dk.start()
+        dx.start()
+
+    def run_group(g, kw, xw):
         for s in range(kg // S):
             gxs = []
             for t in range(S):
                 kk = g * kg + s * S + t
-                gxs.append(run_gather(kk, kw, xw, folded))
+                gxs.append(run_gather(kk, kw, xw))
             gx_s = (jnp.concatenate(gxs, axis=1) if S > 1 else gxs[0])
             accum(g * (kg // S) + s, gx_s)
 
-    @pl.when((i == 0) & (nch_ref[0, 0] > 0))
+    @pl.when((i == 0) & (nchf_ref[0, 0] > 0))
     def _():
-        dma_x(0, i, 0).start()
+        start(0, i, 0)
 
     for g in range(G):
         slot = jax.lax.rem(i * G + g, 2)
         if g + 1 < G:
-            @pl.when(nch_ref[g + 1, i] > 0)
+            @pl.when(nchf_ref[g + 1, i] > 0)
             def _(g=g, slot=slot):
-                dma_x(g + 1, i, 1 - slot).start()
+                start(g + 1, i, 1 - slot)
         else:
             nxt = jnp.minimum(i + 1, n - 1)
 
-            @pl.when((i + 1 < n) & (nch_ref[0, nxt] > 0))
+            @pl.when((i + 1 < n) & (nchf_ref[0, nxt] > 0))
             def _(slot=slot):
-                dma_x(0, i + 1, 1 - slot).start()
+                start(0, i + 1, 1 - slot)
 
-        @pl.when(nch_ref[g, i] > 0)
+        @pl.when(nchf_ref[g, i] > 0)
         def _(g=g, slot=slot):
-            dma_x(g, i, slot).wait()
-            run_group(g, kwin0_ref[0, g], xwin_ref[slot], True)
+            dk, dx = dmas(g, i, slot)
+            dk.wait()
+            dx.wait()
+            run_group(g, kwin_ref[slot], xwin_ref[slot])
 
         bf0 = basef_ref[g, i]
 
         def extra(c, carry, g=g, bf0=bf0):
-            base = pl.multiple_of(bf0 * F + c * W, 128)
+            base = pl.multiple_of(bf0 + c * WF, 128)
             d1 = pltpu.make_async_copy(
-                tk_hbm.at[:, pl.ds(base, W)], kwin2_ref, sems.at[2, 0])
+                tkf_hbm.at[:, pl.ds(base, WF)], kwin2_ref, sems.at[2, 0])
             d2 = pltpu.make_async_copy(
-                xp_hbm.at[pl.ds(base, W), :], xwin2_ref, sems.at[2, 1])
+                xf_hbm.at[pl.ds(base, WF), :], xwin2_ref, sems.at[2, 1])
             d1.start()
             d2.start()
             d1.wait()
             d2.wait()
-            run_group(g, kwin2_ref[0:1, :], xwin2_ref[:, :], False)
+            run_group(g, kwin2_ref[:, :], xwin2_ref[:, :])
             return carry
 
-        jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
+        jax.lax.fori_loop(1, nchf_ref[g, i], extra, 0)
 
 
-def _fwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, kwin0_ref,
-                     tk_hbm, xf_hbm, xp_hbm, out_ref, xwin_ref, kwin2_ref,
-                     xwin2_ref, acc_ref, sems, *, K, G, W, F, C, S,
-                     mm_precision):
-    dt = xwin2_ref.dtype
+def _fwd_fold_kernel(basef_ref, nchf_ref, qk_ref, w_ref, tkf_hbm, xf_hbm,
+                     out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                     acc_ref, sems, *, K, G, WF, F, C, S, mm_precision):
+    dt = xwin_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    def run_gather(kk, kw, xw, folded):
-        if folded:
-            return _gather_folded(qk_ref, kk, kw, xw, C, F, dt,
-                                  mm_precision)
-        return _gather_plain(qk_ref, kk, kw, xw, dt, mm_precision)
+    def run_gather(kk, kw, xw):
+        return _gather_folded(qk_ref, kk, kw, xw, C, F, dt, mm_precision)
 
     def accum(sidx, gx_s):
         acc_ref[:, :] += jnp.dot(gx_s.astype(dt), w_ref[sidx],
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
 
-    _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
-                   tk_hbm, xf_hbm, xp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
-                   sems, K=K, G=G, W=W, F=F, S=S, dt=dt,
-                   mm_precision=mm_precision)
+    _fold_pipeline(run_gather, accum, basef_ref, nchf_ref, tkf_hbm,
+                   xf_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, K=K, G=G, WF=WF, S=S)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
-def _bwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, x_ref, kwin0_ref,
-                     tk_hbm, gf_hbm, gp_hbm, dx_ref, dw_ref, xwin_ref,
-                     kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, W, F,
+def _bwd_fold_kernel(basef_ref, nchf_ref, qk_ref, w_ref, x_ref, tkf_hbm,
+                     gf_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref,
+                     kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, WF, F,
                      COUT, S, mm_precision):
     """Folded one-pass backward over the reverse map (see _bwd_kernel):
     gathers the upstream grad g (COUT channels, folded by F = 128//COUT),
@@ -1003,7 +1079,7 @@ def _bwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, x_ref, kwin0_ref,
     accumulates [K//S, C, S*COUT] in reverse offset order (the wrapper
     unstacks + flips)."""
     i = pl.program_id(0)
-    dt = xwin2_ref.dtype
+    dt = xwin_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     @pl.when(i == 0)
@@ -1012,11 +1088,9 @@ def _bwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, x_ref, kwin0_ref,
 
     xt_t = x_ref[:, :]  # [C, TILE] pre-transposed forward inputs
 
-    def run_gather(kk, kw, xw, folded):
-        if folded:
-            return _gather_folded(qk_ref, kk, kw, xw, COUT, F, dt,
-                                  mm_precision)
-        return _gather_plain(qk_ref, kk, kw, xw, dt, mm_precision)
+    def run_gather(kk, kw, xw):
+        return _gather_folded(qk_ref, kk, kw, xw, COUT, F, dt,
+                              mm_precision)
 
     def accum(sidx, gg_s):
         ggd = gg_s.astype(dt)  # [TILE, S*COUT]
@@ -1027,10 +1101,9 @@ def _bwd_fold_kernel(basef_ref, nch_ref, qk_ref, w_ref, x_ref, kwin0_ref,
                                       preferred_element_type=jnp.float32,
                                       precision=mm_precision)
 
-    _fold_pipeline(run_gather, accum, basef_ref, nch_ref, kwin0_ref,
-                   tk_hbm, gf_hbm, gp_hbm, xwin_ref, kwin2_ref, xwin2_ref,
-                   sems, K=K, G=G, W=W, F=F, S=S, dt=dt,
-                   mm_precision=mm_precision)
+    _fold_pipeline(run_gather, accum, basef_ref, nchf_ref, tkf_hbm,
+                   gf_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                   sems, K=K, G=G, WF=WF, S=S)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -1043,16 +1116,16 @@ def _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys, win,
     t_pad = tkeys.shape[1]
     cout0 = weights.shape[-1]
     fold = 128 // c0
-    wf = win // fold
     kg = k // grp
     s_st = _stack_factor(kg)
     qp = _pad_qkey(qkey, n_tiles)
-    basef, kwin0 = _fold_tile_windows(tkeys, starts, fold, wf)
+    basef, nchf, wf = _fold_windows(starts, nch, win, fold, t_pad)
+    tkf = _fold_keys(tkeys, fold)
     xp = jnp.zeros((t_pad, c0), feats.dtype).at[:n_in].set(feats)
     xf = xp.reshape(t_pad // fold, 128)
     ws = weights.astype(feats.dtype).reshape(k // s_st, s_st * c0, cout0)
 
-    kern = functools.partial(_fwd_fold_kernel, K=k, G=grp, W=win, F=fold,
+    kern = functools.partial(_fwd_fold_kernel, K=k, G=grp, WF=wf, F=fold,
                              C=c0, S=s_st,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1064,18 +1137,16 @@ def _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys, win,
             pl.BlockSpec((k // s_st, s_st * c0, cout0),
                          lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, fold, wf), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE, cout0), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, wf), jnp.int32),
             pltpu.VMEM((2, wf, 128), feats.dtype),
-            pltpu.VMEM((8, win), jnp.int32),
-            pltpu.VMEM((win, c0), feats.dtype),
+            pltpu.VMEM((8, wf), jnp.int32),
+            pltpu.VMEM((wf, 128), feats.dtype),
             pltpu.VMEM((TILE, cout0), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
@@ -1091,7 +1162,7 @@ def _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys, win,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(basef, nch, qp, ws, kwin0, tkeys, xf, xp)
+    )(basef, nchf, qp, ws, tkf, xf)
     return out[:n_out]
 
 
@@ -1104,11 +1175,11 @@ def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
     grp, n_tiles = rstarts.shape
     t_pad = rtkeys.shape[1]
     fold = 128 // cout0
-    wf = rwin // fold
     kg = k // grp
     s_st = _stack_factor(kg)
     qp = _pad_qkey(rqkey, n_tiles)
-    basef, kwin0 = _fold_tile_windows(rtkeys, rstarts, fold, wf)
+    basef, nchf, wf = _fold_windows(rstarts, rnch, rwin, fold, t_pad)
+    tkf = _fold_keys(rtkeys, fold)
     gp = jnp.zeros((t_pad, cout0), feats.dtype).at[:n_out].set(
         g.astype(feats.dtype))
     gf = gp.reshape(t_pad // fold, 128)
@@ -1117,7 +1188,7 @@ def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
     xp = jnp.zeros((c0, n_tiles * TILE), feats.dtype).at[
         :, :n_in].set(feats.T)
 
-    kern = functools.partial(_bwd_fold_kernel, K=k, G=grp, W=rwin, F=fold,
+    kern = functools.partial(_bwd_fold_kernel, K=k, G=grp, WF=wf, F=fold,
                              COUT=cout0, S=s_st,
                              mm_precision=_mm_precision(feats.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1131,9 +1202,6 @@ def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c0, TILE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, fold, wf), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -1145,9 +1213,10 @@ def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, wf), jnp.int32),
             pltpu.VMEM((2, wf, 128), feats.dtype),
-            pltpu.VMEM((8, rwin), jnp.int32),
-            pltpu.VMEM((rwin, cout0), feats.dtype),
+            pltpu.VMEM((8, wf), jnp.int32),
+            pltpu.VMEM((wf, 128), feats.dtype),
             pltpu.VMEM((TILE, c0), jnp.float32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
@@ -1160,7 +1229,7 @@ def _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch, rtkeys, rwin,
                                  jnp.float32),
         ),
         interpret=interpret,
-    )(basef, rnch, qp, ws, xp, kwin0, rtkeys, gf, gp)
+    )(basef, nchf, qp, ws, xp, tkf, gf)
     dw_rev = dws.reshape(k // s_st, c0, s_st, cout0)
     dw_rev = jnp.transpose(dw_rev, (0, 2, 1, 3)).reshape(k, c0, cout0)
     return dx[:n_in], dw_rev[::-1]
@@ -1338,7 +1407,7 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     if cout0 == 1:
         return _conv_co1_fwd(feats, weights, qkey, starts, nch, tkeys,
                              win, interpret)
-    if _fold_factor(c0) > 1 and win % _fold_factor(c0) == 0:
+    if _fold_factor(c0) > 1:
         return _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys,
                               win, interpret)
     qp = _pad_qkey(qkey, n_tiles)
@@ -1497,8 +1566,7 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     grp = rstarts.shape[0]
     n_tiles = rstarts.shape[1]
     t_pad = rtkeys.shape[1]
-    if (_fold_factor(cout0) > 1 and c0 > 1
-            and rwin % _fold_factor(cout0) == 0):
+    if _fold_factor(cout0) > 1 and c0 > 1:
         return _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch,
                               rtkeys, rwin, interpret)
     qp = _pad_qkey(rqkey, n_tiles)

@@ -315,10 +315,12 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     qx4 = jnp.concatenate(
         [qxyz, jnp.zeros(qxyz.shape[:2] + (1,), jnp.float32)], axis=2)
 
-    # packed extraction needs target rows to fit 15 bits (t_cap here is
-    # padded row space; actual rows < t_cap)
-    if t_cap <= (1 << 15):
-        kern = functools.partial(_topk_kernel_packed, P=p_n, KN=kn)
+    # packed extraction needs target rows (< t_cap) to leave >= 12 bits
+    # of quantized distance (the _topk_kernel_packed accuracy gate)
+    rowb = max(1, (t_cap - 1).bit_length())
+    if 31 - rowb >= 12:
+        kern = functools.partial(_topk_kernel_packed, P=p_n, KN=kn,
+                                 ROWB=rowb)
     else:
         kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
     grid_spec = pltpu.PrefetchScalarGridSpec(

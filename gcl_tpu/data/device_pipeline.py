@@ -19,6 +19,11 @@ import jax.numpy as jnp
 from ..core.types import INVALID_BATCH, ColocationGroups, SparseBatch
 from ..core.voxelize import voxelize_points
 
+# Off-TPU check legs set this (gcl_tpu.testing.kernel_interpret) to run
+# the Mosaic group-search kernels in Pallas interpret mode instead of the
+# XLA fallback — kernel breakage then fails on CPU too.
+FORCE_INTERPRET = False
+
 
 class VoxelizedClouds(NamedTuple):
     """Per-cloud voxelization output, fixed per-cloud capacity.
@@ -421,6 +426,7 @@ def batch_colocation_groups(vox_b: VoxelizedClouds, transforms_b: jax.Array,
                                             jnp.float32), (b,))
 
     from ..core.pallas_conv import pallas_available
+    _interpret = _interpret or (FORCE_INTERPRET and not pallas_available())
     if cell is not None and (pallas_available() or _interpret):
         # Batched Mosaic search (S = B*C searches share one kernel
         # launch). All C searches of a sample share the SAME queries

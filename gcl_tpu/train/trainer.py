@@ -95,6 +95,11 @@ class AlignmentTrainer:
         self.n_shards = n_dev if self.mesh is not None else 1
         self.shard_batch = self.batch_size // self.n_shards
 
+        # Kernel tuning comes from the config (persisted in config.json)
+        # rather than env vars, so a run is reproducible from its config
+        from ..core.pallas_conv import configure_from
+        configure_from(config)
+
         self.clouds_per_sample = self._clouds_per_sample()
         self.specs = model_cls.conv_specs(config.conv1_kernel_size)
         strides = sorted({s for sp in self.specs

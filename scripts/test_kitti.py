@@ -46,6 +46,9 @@ def main(config):
     from gcl_tpu.core.kernel_maps import default_level_caps
     from gcl_tpu.utils.timer import AverageMeter, Timer
 
+    from gcl_tpu.core.pallas_conv import configure_from
+    configure_from(config)  # kernel tuning from the run's config.json
+
     test_loader = make_data_loader(config, config.test_phase, 1,
                                    num_threads=config.test_num_thread,
                                    shuffle=False)

@@ -439,20 +439,28 @@ class TestFusedGraph:
     @pytest.mark.parametrize("cin,cout,in_s,out_s", [
         (32, 32, 1, 1), (64, 64, 1, 1), (32, 64, 1, 2), (64, 32, 2, 1),
         (16, 16, 1, 1)])
-    def test_fused_folded_channels(self, rng, cin, cout, in_s, out_s):
+    def test_fused_folded_channels(self, rng, monkeypatch, cin, cout,
+                                   in_s, out_s):
         """Narrow-channel geometries route through the folded kernels
         (pallas_conv._conv_fold_fwd/_conv_fold_bwd, F = 128 // C) and
         must match the explicit map forward + dX/dW, including the
-        mixed-fold case (fwd folds Cin, bwd folds Cout)."""
-        from gcl_tpu.core.pallas_conv import _fold_factor
-        assert _fold_factor(cin) > 1
+        mixed-fold case (fwd folds Cin, bwd folds Cout). Opt-in
+        (GCL_CONV_FOLD=1): the fold is exact but currently a step-time
+        loss at bench scale, so production defaults it off."""
+        from gcl_tpu.core import pallas_conv
+        monkeypatch.setattr(pallas_conv, "FOLD", True)
+        assert pallas_conv._fold_factor(cin) > 1
         coords, mask = self._coords(rng)
         self._check(rng, coords, mask, in_s, out_s, 3, tol=1e-4,
                     cin=cin, cout=cout)
 
-    def test_fused_folded_multichunk(self, rng):
-        """Folded path with window spans > win: extra chunks take the
-        in-kernel classic unfolded fallback and must still be exact."""
+    def test_fused_folded_multichunk(self, rng, monkeypatch):
+        """Folded path with window spans > win: extra chunks rerun the
+        folded gather on synchronously-DMA'd key/feature slabs and must
+        still be exact (the map's nch > 1 here; the kernel's own
+        re-windowed nchf can be smaller since folded chunks are wider)."""
+        from gcl_tpu.core import pallas_conv
+        monkeypatch.setattr(pallas_conv, "FOLD", True)
         xs, ys, zs = 2, 14, 64
         coords = np.array([(0, x, y, z - 32) for x in range(xs)
                            for y in range(ys) for z in range(zs)],
