@@ -157,6 +157,119 @@ def test_me_import_transpose_up(rng, k):
     np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
 
 
+def test_full_fatbn_pth_roundtrip(tmp_path):
+    """Full-model proof over a complete ResUNetFatBN .pth-shaped
+    checkpoint (ref lib/trainer.py:162-175 layout): every conv kernel —
+    encoder, decoder transpose convs, block convs, 1x1 final/conv1_tr —
+    plus BN affine + running stats must come back from
+    load_torch_checkpoint exactly as the per-conv oracle transform
+    prescribes, with the transpose flag derived independently from the
+    conv-spec stride geometry (decoder = in_stride > out_stride), and
+    the restored model must run forward finite."""
+    import jax
+    import torch
+
+    from gcl_tpu.models.resunet import ResUNetFatBN
+    from gcl_tpu.train import checkpoint as ckpt
+    from gcl_tpu.train.import_torch import load_torch_checkpoint
+
+    model = ResUNetFatBN(1, 32, bn_momentum=0.05, normalize_feature=True,
+                         conv1_kernel_size=5, D=3)
+    specs = ResUNetFatBN.conv_specs(5)
+    strides = sorted({s for sp in specs
+                      for s in (sp.in_stride, sp.out_stride)})
+    by_name = {sp.name: sp for sp in specs}
+
+    rng_np = np.random.RandomState(0)
+    cap = 128
+    coords = np.zeros((cap, 4), np.int32)
+    coords[:, 1:] = rng_np.randint(-4, 5, (cap, 3))
+    coords[:, 1] += np.arange(cap) * 9  # unique
+    g = build_graph(jnp.asarray(coords),
+                    jnp.asarray(np.ones(cap, bool)), specs,
+                    {s: cap for s in strides})
+    variables = model.init(jax.random.PRNGKey(0), g,
+                           jnp.ones((cap, 1)), train=False)
+
+    sd = {}
+    expected = {"params": {}, "batch_stats": {}}
+
+    def put(tree, names, arr):
+        node = tree
+        for n in names[:-1]:
+            node = node.setdefault(n, {})
+        node[names[-1]] = arr
+
+    def conv_transpose_flag(names):
+        if len(names) > 2:  # blockN.convI — always same-level
+            return False
+        sp = by_name.get(names[0])
+        assert sp is not None, names
+        return sp.in_stride > sp.out_stride
+
+    def leaf_to_sd(path, leaf):
+        names = [p.key for p in path]
+        arr = rng_np.randn(*leaf.shape).astype(np.float32)
+        if names[-1] == "kernel":
+            sd[".".join(names)] = arr
+            want = (_import_conv(arr, conv_transpose_flag(names))
+                    if arr.ndim == 3 else arr)
+            put(expected["params"], names, want)
+        elif names[-1] == "bias" and "norm" not in names[-2]:
+            sd[".".join(names)] = arr
+            put(expected["params"], names, arr)
+        else:  # norm scale/bias
+            key = "weight" if names[-1] == "scale" else "bias"
+            sd[".".join(names[:-1]) + ".bn." + key] = arr
+            put(expected["params"], names, arr)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(leaf_to_sd, variables["params"])
+
+    def stats_to_sd(path, leaf):
+        names = [p.key for p in path]
+        key = {"mean": "running_mean", "var": "running_var"}[names[-1]]
+        arr = rng_np.rand(*leaf.shape).astype(np.float32) + 0.5
+        sd[".".join(names[:-1]) + ".bn." + key] = arr
+        put(expected["batch_stats"], names, arr)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(stats_to_sd,
+                                     variables["batch_stats"])
+
+    pth = tmp_path / "checkpoint.pth"
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()},
+                "epoch": 7, "best_val": 0.5, "best_val_epoch": 6,
+                "best_val_metric": "feat_match_ratio"}, str(pth))
+
+    params, stats, meta = load_torch_checkpoint(str(pth))
+    assert meta["epoch"] == 7
+    restored = ckpt.restore_into(variables["params"], params)
+    restored_stats = ckpt.restore_into(variables["batch_stats"], stats)
+
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(restored)
+    flat_want = dict(jax.tree_util.tree_flatten_with_path(
+        expected["params"])[0])
+    assert len(flat_got) == len(flat_want)
+    for path, got in flat_got:
+        np.testing.assert_array_equal(
+            np.asarray(got), flat_want[path],
+            err_msg=str(jax.tree_util.keystr(path)))
+    for path, got in jax.tree_util.tree_flatten_with_path(
+            restored_stats)[0]:
+        np.testing.assert_array_equal(
+            np.asarray(got),
+            dict(jax.tree_util.tree_flatten_with_path(
+                expected["batch_stats"])[0])[path],
+            err_msg=str(jax.tree_util.keystr(path)))
+
+    out = model.apply({"params": restored,
+                       "batch_stats": restored_stats}, g,
+                      jnp.ones((cap, 1)), train=False)
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite forward"
+
+
 def test_import_state_dict_structure():
     """A synthetic reference state_dict (ResUNetBN2C names/shapes,
     lib/trainer.py:162-175) must land in a tree restore_into accepts
