@@ -190,6 +190,14 @@ tpu_arg.add_argument("--search_cell_cap", type=int, default=8,
                      help="max targets visible per hash-grid cell")
 tpu_arg.add_argument("--member_r_cap", type=int, default=32,
                      help="reverse-membership index width (neg filter)")
+tpu_arg.add_argument("--neg_filter", type=str, default="spatial",
+                     choices=["spatial", "membership"],
+                     help="negative-mining exclusion: 'spatial' (all "
+                          "negatives within 2r of an anchor, a strict "
+                          "superset — the TPU default) or 'membership' "
+                          "(the reference's exact K-truncated "
+                          "co-membership hash semantics, for parity "
+                          "validation runs)")
 tpu_arg.add_argument("--profile_dir", type=str, default="",
                      help="write a jax.profiler device trace of the first "
                           "epoch here (view with tensorboard)")

@@ -195,7 +195,9 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
     start = jnp.clip(start, 0, n_in_pad - win)
     nch = jnp.where(any_valid, _cdiv(hi - start + 1, win), 0)
     nch = jnp.clip(nch, 0, _cdiv(n_in_pad, win))
-    return start.astype(jnp.int32), nch.astype(jnp.int32)
+    rows = jnp.where(any_valid, jnp.clip(hi - start + 1, 1, win), 0)
+    return (start.astype(jnp.int32), nch.astype(jnp.int32),
+            rows.astype(jnp.int32))
 
 
 def _fused_from_idx(feats_len, idx):
@@ -213,14 +215,14 @@ def _fused_from_idx(feats_len, idx):
     pad = n_tiles * TILE - n_out
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=n_in)
-    starts, nch = compute_windows(idx, n_in + WIN, n_tiles, grp)
+    starts, nch, rows = compute_windows(idx, n_in + WIN, n_tiles, grp)
     # 1024-aligned (= F*128 at the deepest fold) so the folded kernels'
     # reshape [t_pad/F, 128] keeps 128-multiple row counts, and padded
     # past max_win so their re-windowed coverage stays in bounds
     t_pad = _cdiv(n_in + max_win(), 1024) * 1024
     tkeys = jnp.full((8, t_pad), -1, jnp.int32)
     tkeys = tkeys.at[0, :n_in].set(jnp.arange(n_in, dtype=jnp.int32))
-    return qkey, starts, nch, tkeys
+    return qkey, starts, nch, rows, tkeys
 
 
 # ----------------------------------------------------------------------
@@ -261,9 +263,32 @@ def _pack_qkey_pairs(qp: jax.Array, n_tiles: int, pair: int) -> jax.Array:
                                            n_tiles * pair * TILE)
 
 
-def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
-                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt, mm_precision, pair=1):
+def seg_widths(win: int) -> Tuple[int, ...]:
+    """Ascending chunk-0 compare/gather width variants for a window
+    width (<= 3 variants, 128-multiples, last == win). The one-hot
+    compare and the gather GEMM both scale with the compared width, and
+    most chunk-0 windows cover far fewer rows than the full win (median
+    span ~258 at KITTI scale for win=384), so the kernels dispatch on
+    the smallest sufficient variant per (group, tile)."""
+    ws = sorted({_cdiv(win * f, 3 * 128) * 128 for f in (1, 2, 3)})
+    return tuple(w for w in ws if w <= win)
+
+
+def _seg_vidx(nch: jax.Array, rows: jax.Array, win: int) -> jax.Array:
+    """Variant index per (G, n_tiles): smallest seg_widths(win) entry
+    covering chunk 0's rows; multi-chunk windows force the full width
+    (their chunk 0 covers the whole win by construction)."""
+    ws = seg_widths(win)
+    vi = jnp.zeros_like(nch)
+    for i, w in enumerate(ws[:-1]):
+        vi = jnp.where(rows > w, i + 1, vi)
+    return jnp.where(nch > 1, len(ws) - 1, vi).astype(jnp.int32)
+
+
+def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
+                     x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                     sems, K, G, W, dt, mm_precision, pair=1,
+                     segs=None):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
@@ -335,7 +360,17 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
         def _(g=g, slot=slot):
             dma_k(g, i, slot).wait()
             dma_x(g, i, slot).wait()
-            run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+            if segs is None or len(segs) == 1:
+                run_group(g, kwin_ref[slot, 0:1, :], xwin_ref[slot])
+            else:
+                # narrow the one-hot compare + gather GEMM to the
+                # smallest width covering this window's chunk-0 rows
+                vi = vidx_ref[g, i]
+                for v, vw in enumerate(segs):
+                    @pl.when(vi == v)
+                    def _(g=g, slot=slot, vw=vw):
+                        run_group(g, kwin_ref[slot, 0:1, :vw],
+                                  xwin_ref[slot, :vw])
 
         s0 = starts_ref[g, i]
 
@@ -355,9 +390,10 @@ def _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
         jax.lax.fori_loop(1, nch_ref[g, i], extra, 0)
 
 
-def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
-                kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, acc_ref, sems,
-                *, K, G, W, mm_precision, pair=1):
+def _fwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, tk_hbm,
+                x_hbm, out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                acc_ref, sems, *, K, G, W, mm_precision, pair=1,
+                segs=None):
     dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -366,15 +402,15 @@ def _fwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, tk_hbm, x_hbm, out_ref,
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
 
-    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
-                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt, mm_precision, pair)
+    _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
+                     x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                     sems, K, G, W, dt, mm_precision, pair, segs)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
-def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
-               kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-               *, K, G, W, mm_precision, pair=1):
+def _dw_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, g_ref, tk_hbm,
+               x_hbm, dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+               sems, *, K, G, W, mm_precision, pair=1, segs=None):
     i = pl.program_id(0)
     dt = xwin2_ref.dtype
 
@@ -392,14 +428,15 @@ def _dw_kernel(starts_ref, nch_ref, qk_ref, g_ref, tk_hbm, x_hbm, dw_ref,
             gx.astype(dt).T, gt, preferred_element_type=jnp.float32,
             precision=mm_precision)
 
-    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, x_hbm,
-                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt, mm_precision, pair)
+    _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
+                     x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                     sems, K, G, W, dt, mm_precision, pair, segs)
 
 
-def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
-                dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-                acc_ref, sems, *, K, G, W, mm_precision, pair=1):
+def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
+                tk_hbm, g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref,
+                kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, W,
+                mm_precision, pair=1, segs=None):
     """dX AND dW in ONE windowed pass over the REVERSE map.
 
     Runs over tiles of the conv's IN level (the reverse map's outputs),
@@ -444,9 +481,9 @@ def _bwd_kernel(starts_ref, nch_ref, qk_ref, w_ref, x_ref, tk_hbm, g_hbm,
                                    preferred_element_type=jnp.float32,
                                    precision=mm_precision)
 
-    _windowed_gather(body, starts_ref, nch_ref, qk_ref, tk_hbm, g_hbm,
-                     kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
-                     K, G, W, dt, mm_precision, pair)
+    _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
+                     g_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                     sems, K, G, W, dt, mm_precision, pair, segs)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -1393,8 +1430,13 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win, interpret):
 
 def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
                    starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
-                   win: int = WIN, interpret: bool = False) -> jax.Array:
-    """out[i] = sum_k x[row with key == qkey[k, i]] @ W[k] (0 if absent)."""
+                   win: int = WIN, interpret: bool = False,
+                   rows: jax.Array = None) -> jax.Array:
+    """out[i] = sum_k x[row with key == qkey[k, i]] @ W[k] (0 if absent).
+
+    rows (optional int32[G, n_tiles], chunk-0 covered rows) narrows the
+    per-window one-hot compare + gather GEMM to the smallest sufficient
+    seg_widths(win) variant; None keeps the full width everywhere."""
     n_in, c0 = feats.shape
     k, n_out = qkey.shape
     grp = starts.shape[0]
@@ -1410,6 +1452,9 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     if _fold_factor(c0) > 1:
         return _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys,
                               win, interpret)
+    segs = seg_widths(win) if rows is not None else None
+    vidx = (_seg_vidx(nch, rows, win) if rows is not None
+            else jnp.zeros_like(nch))
     qp = _pad_qkey(qkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     xp = _pad_feats(feats, t_pad, c)
@@ -1428,9 +1473,9 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
 
     kern = functools.partial(_fwd_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair)
+                             pair=pair, segs=segs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             q_spec,
@@ -1462,13 +1507,14 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts, nch, qp, wd, tkeys, xp)
+    )(starts, nch, vidx, qp, wd, tkeys, xp)
     return out[:n_out, :cout0]
 
 
 def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
                   starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
-                  win: int = WIN, interpret: bool = False) -> jax.Array:
+                  win: int = WIN, interpret: bool = False,
+                  rows: jax.Array = None) -> jax.Array:
     """dW[k] = sum_i x[match(k, i)]^T g[i]  (same shared windows)."""
     if feats.shape[1] == 1:
         return _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win,
@@ -1479,6 +1525,9 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     n_tiles = starts.shape[1]
     t_pad = tkeys.shape[1]
     cout0 = g.shape[-1]
+    segs = seg_widths(win) if rows is not None else None
+    vidx = (_seg_vidx(nch, rows, win) if rows is not None
+            else jnp.zeros_like(nch))
     qp = _pad_qkey(qkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     xp = _pad_feats(feats, t_pad, c)
@@ -1497,9 +1546,9 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
 
     kern = functools.partial(_dw_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair)
+                             pair=pair, segs=segs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             q_spec,
@@ -1523,7 +1572,7 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
         interpret=interpret,
-    )(starts, nch, qp, gp, tkeys, xp)
+    )(starts, nch, vidx, qp, gp, tkeys, xp)
     return dw[:, :c0, :cout0]
 
 
@@ -1550,7 +1599,7 @@ def bwd_fused_vmem_ok(k: int, c0: int, cout0: int, rwin: int) -> bool:
 def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
                    rqkey: jax.Array, rstarts: jax.Array, rnch: jax.Array,
                    rtkeys: jax.Array, rwin: int = WIN,
-                   interpret: bool = False
+                   interpret: bool = False, rrows: jax.Array = None
                    ) -> Tuple[jax.Array, jax.Array]:
     """(dX, dW) of a fused conv in one windowed pass over the reverse map.
 
@@ -1569,6 +1618,9 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     if _fold_factor(cout0) > 1 and c0 > 1:
         return _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch,
                               rtkeys, rwin, interpret)
+    segs = seg_widths(rwin) if rrows is not None else None
+    vidx = (_seg_vidx(rnch, rrows, rwin) if rrows is not None
+            else jnp.zeros_like(rnch))
     qp = _pad_qkey(rqkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
@@ -1590,9 +1642,9 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
 
     kern = functools.partial(_bwd_kernel, K=k, G=grp, W=rwin,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair)
+                             pair=pair, segs=segs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             q_spec,
@@ -1634,7 +1686,7 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rstarts, rnch, qp, wd, xp, rtkeys, gp)
+    )(rstarts, rnch, vidx, qp, wd, xp, rtkeys, gp)
     return dx[:n_in, :c0], dw[::-1, :c0, :cout0]
 
 
@@ -1643,17 +1695,17 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
     """Index-table API: out[i] = sum_k x[idx[k, i]] @ W[k]; idx routed
     (missing == n_in). Adapts to the key-compare kernels via identity
     keys; the production path passes coordinate keys (fused_conv_fwd)."""
-    qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
+    qkey, starts, nch, rows, tkeys = _fused_from_idx(feats.shape[0], idx)
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
-                          win=WIN, interpret=interpret)
+                          win=WIN, interpret=interpret, rows=rows)
 
 
 def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Index-table API for dW (see pallas_conv_fwd)."""
-    qkey, starts, nch, tkeys = _fused_from_idx(feats.shape[0], idx)
+    qkey, starts, nch, rows, tkeys = _fused_from_idx(feats.shape[0], idx)
     return fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
-                         win=WIN, interpret=interpret)
+                         win=WIN, interpret=interpret, rows=rows)
 
 
 def pallas_available() -> bool:

@@ -175,25 +175,29 @@ _sparse_conv_rev_core.defvjp(_sparse_conv_rev_fwd, _sparse_conv_rev_bwd)
 FORCE_INTERPRET = False
 
 
-def _fused_forward(feats, weights, qkey, starts, nch, tkeys, win):
+def _fused_forward(feats, weights, qkey, starts, nch, rows, tkeys, win):
     from .pallas_conv import fused_conv_fwd, pallas_available
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
                           win=win,
                           interpret=not pallas_available()
-                          and FORCE_INTERPRET)
+                          and FORCE_INTERPRET, rows=rows)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _sparse_conv_fused_core(win, rwin, feats, weights, qkey, starts, nch,
-                            tkeys, rqkey, rstarts, rnch, rtkeys):
-    return _fused_forward(feats, weights, qkey, starts, nch, tkeys, win)
+                            rows, tkeys, rqkey, rstarts, rnch, rrows,
+                            rtkeys):
+    return _fused_forward(feats, weights, qkey, starts, nch, rows,
+                          tkeys, win)
 
 
 def _sparse_conv_fused_fwd(win, rwin, feats, weights, qkey, starts, nch,
-                           tkeys, rqkey, rstarts, rnch, rtkeys):
-    out = _fused_forward(feats, weights, qkey, starts, nch, tkeys, win)
-    return out, (feats, weights, qkey, starts, nch, tkeys, rqkey,
-                 rstarts, rnch, rtkeys)
+                           rows, tkeys, rqkey, rstarts, rnch, rrows,
+                           rtkeys):
+    out = _fused_forward(feats, weights, qkey, starts, nch, rows, tkeys,
+                         win)
+    return out, (feats, weights, qkey, starts, nch, rows, tkeys, rqkey,
+                 rstarts, rnch, rrows, rtkeys)
 
 
 def _sparse_conv_fused_bwd(win, rwin, res, g):
@@ -208,8 +212,8 @@ def _sparse_conv_fused_bwd(win, rwin, res, g):
     kernel (their dX is dead code the compiler removes), and geometries
     whose f32 dW accumulator would blow VMEM fall back to two passes.
     """
-    (feats, weights, qkey, starts, nch, tkeys, rqkey, rstarts, rnch,
-     rtkeys) = res
+    (feats, weights, qkey, starts, nch, rows, tkeys, rqkey, rstarts,
+     rnch, rrows, rtkeys) = res
     from .pallas_conv import (bwd_fused_vmem_ok, fused_conv_bwd,
                               fused_conv_dw, fused_conv_fwd,
                               pallas_available)
@@ -225,16 +229,18 @@ def _sparse_conv_fused_bwd(win, rwin, res, g):
     if (one_pass_on and c0 > 1 and cout0 > 1
             and bwd_fused_vmem_ok(k, c0, cout0, rwin)):
         dx, dw = fused_conv_bwd(feats, g, weights, rqkey, rstarts, rnch,
-                                rtkeys, rwin=rwin, interpret=interp)
+                                rtkeys, rwin=rwin, interpret=interp,
+                                rrows=rrows)
         return (dx.astype(feats.dtype), dw.astype(weights.dtype),
-                None, None, None, None, None, None, None, None)
+                None, None, None, None, None, None, None, None, None,
+                None)
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
     dx = fused_conv_fwd(g, w_rev_t, rqkey, rstarts, rnch, rtkeys,
-                        win=rwin, interpret=interp)
+                        win=rwin, interpret=interp, rows=rrows)
     dw = fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
-                       win=win, interpret=interp)
+                       win=win, interpret=interp, rows=rows)
     return (dx.astype(feats.dtype), dw.astype(weights.dtype),
-            None, None, None, None, None, None, None, None)
+            None, None, None, None, None, None, None, None, None, None)
 
 
 _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
@@ -407,7 +413,8 @@ def sparse_conv_c1z_exact_jitter(weights: jax.Array, fm, rfm, out_dtype,
         sel = sel * row_sel.astype(jnp.float32)
     nch_eps = window_support_gate(fm.nch, fm.starts, fm.win, sel,
                                   fm.tkeys.shape[1])
-    fm_eps = FusedMap(fm.qkey, fm.starts, nch_eps, fm.tkeys, fm.win)
+    fm_eps = FusedMap(fm.qkey, fm.starts, nch_eps, fm.tkeys, fm.win,
+                      rows=fm.rows)
     y_eps = sparse_conv_fused(eps.astype(out.dtype), weights, fm_eps, rfm)
     return out + y_eps
 
@@ -433,8 +440,9 @@ def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm,
     """
     return _sparse_conv_fused_core(fm.win, rfm.win, feats,
                                    weights, fm.qkey, fm.starts,
-                                   fm.nch, fm.tkeys, rfm.qkey, rfm.starts,
-                                   rfm.nch, rfm.tkeys)
+                                   fm.nch, fm.rows, fm.tkeys, rfm.qkey,
+                                   rfm.starts, rfm.nch, rfm.rows,
+                                   rfm.tkeys)
 
 
 def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,

@@ -100,23 +100,30 @@ class FusedMap:
         key), columns 1-3 the grid-shifted (ux, uy, uz) coordinates for
         range masking. Built only for same-level dilation-1 odd maps at
         stride 1 (conv1 geometries).
+      rows: None, or int32[G, n_tiles] rows actually covered by window
+        chunk 0 (row_hi - start + 1, clamped to win; 0 where nch == 0).
+        Lets the conv kernels run the one-hot compare + gather GEMM at
+        the narrowest sufficient 128-multiple width instead of the full
+        win (pallas_conv seg_widths). Optional: None keeps full-width.
     """
 
-    def __init__(self, qkey, starts, nch, tkeys, win: int, c1z=None):
+    def __init__(self, qkey, starts, nch, tkeys, win: int, c1z=None,
+                 rows=None):
         self.qkey = qkey
         self.starts = starts
         self.nch = nch
         self.tkeys = tkeys
         self.win = win
         self.c1z = c1z
+        self.rows = rows
 
     def tree_flatten(self):
         return (self.qkey, self.starts, self.nch, self.tkeys,
-                self.c1z), self.win
+                self.c1z, self.rows), self.win
 
     @classmethod
     def tree_unflatten(cls, win, children):
-        return cls(*children[:4], win, children[4])
+        return cls(*children[:4], win, children[4], children[5])
 
 
 class SparseGraph(NamedTuple):

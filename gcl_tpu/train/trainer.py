@@ -127,6 +127,7 @@ class AlignmentTrainer:
             search_cell=cell,
             cell_cap=getattr(config, "search_cell_cap", 8),
             member_r_cap=getattr(config, "member_r_cap", 32),
+            neg_filter=getattr(config, "neg_filter", "spatial"),
             momentum=config.momentum,
             weight_decay=config.weight_decay,
             jitter_mode=getattr(config, "jitter_mode", "input"),

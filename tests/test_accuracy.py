@@ -73,22 +73,36 @@ def test_training_beats_random_and_registers(synth_env, tmp_path):
     trainer.train()
     trained_val = trainer._valid_epoch()
 
-    # (a) the loss trains features that match. Margin notes for this
-    # tiny setup (a handful of colocation samples, tens of SGD steps,
-    # 16-D features, 0.3 m voxels): the procedural synthetic geometry is
-    # repetitive enough that RANDOM-INIT conv features already register
-    # it (hit_ratio ~0.086 at the 0.3 m criterion), and the 0.3 m voxel
-    # grid caps the achievable hit_ratio regardless of features — so the
-    # discriminator is a strict improvement over the random baseline
-    # (measured trained ~0.10 vs random ~0.086) plus absolute floors.
-    # The test's main job is catching catastrophic loss/pipeline
-    # regressions (which drop hit_ratio to ~0 or NaN), with (b) below as
-    # the end-to-end registration evidence.
+    # (a) the loss trains features that match, with a BROKEN-LOSS
+    # CONTROL as the discriminator: the same training budget with the
+    # negative term disabled (neg_weight=0 — features free to collapse)
+    # must end up far worse than the correct loss. A random-init margin
+    # alone does not discriminate here: the procedural geometry is
+    # self-similar enough that random conv features already register it
+    # (hit_ratio ~0.086 vs trained ~0.10). Hardening the world was
+    # measured and rejected — on aperiodic landmark-rich geometry
+    # random-projection features get STRONGER (0.056 random vs 0.047
+    # trained at this budget), and with independently-sampled scans the
+    # tiny 10-epoch model cannot learn the required invariance at all
+    # (both ~0.02) — so the control run is what catches a subtly-wrong
+    # loss: break the negative mining and hit_ratio collapses below
+    # half the correct run's.
+    cfg_b = _config(synth_env, tmp_path / "run_broken", neg_weight=0.0)
+    tb = make_data_loader(cfg_b, "train", cfg_b.batch_size,
+                          num_threads=0)
+    tb.dataset.files = tb.dataset.files[:8]
+    broken = get_trainer(cfg_b.trainer)(cfg_b, tb, vl)
+    broken.train()
+    broken_val = broken._valid_epoch()
+
     print("random:", random_val)
     print("trained:", trained_val)
+    print("broken:", broken_val)
     assert trained_val["hit_ratio"] > 0.05, trained_val
     assert trained_val["hit_ratio"] > random_val["hit_ratio"], \
         (random_val, trained_val)
+    assert trained_val["hit_ratio"] >= 2 * broken_val["hit_ratio"], \
+        (broken_val, trained_val)
     assert trained_val["feat_match_ratio"] >= 0.75, trained_val
 
     # (b) the full benchmark flow registers the synthetic test drive
@@ -107,3 +121,27 @@ def test_training_beats_random_and_registers(synth_env, tmp_path):
     # 13 synthetic test pairs; the tiny 10-epoch model registers
     # 10-12 of them (documented floor: >= 75 %, i.e. 10/13)
     assert stats["rr"] >= 75.0, stats
+
+
+@pytest.mark.slow
+def test_reference_parity_mode_trains(synth_env, tmp_path):
+    """Full reference-parity loss semantics end-to-end: the
+    'membership' negative filter (the reference's exact K-truncated
+    co-membership hash, ref lib/colocation_trainer.py neg mining) must
+    train without NaNs and produce metrics comparable to the default
+    spatial filter. Guards the parity path that production defaults
+    never exercise (README 'Performance' deviations; docs/MIGRATION.md
+    deviation list)."""
+    cfg = _config(synth_env, tmp_path / "run", neg_filter="membership",
+                  max_epoch=2)
+    tl = make_data_loader(cfg, "train", cfg.batch_size, num_threads=0)
+    vl = make_data_loader(cfg, "val", cfg.val_batch_size, num_threads=0)
+    tl.dataset.files = tl.dataset.files[:4]
+    vl.dataset.files = vl.dataset.files[:2]
+
+    trainer = get_trainer(cfg.trainer)(cfg, tl, vl)
+    assert trainer.step_cfg.neg_filter == "membership"
+    trainer.train()
+    val = trainer._valid_epoch()
+    assert np.isfinite(val["loss"]), val
+    assert np.isfinite(val["hit_ratio"]), val
