@@ -15,7 +15,6 @@ standard data-parallel practice.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax
@@ -24,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..train.steps import TrainState, _apply_sgd, make_optimizer
+from ..train.steps import TrainState, make_optimizer  # noqa: F401
 
 
 def make_mesh(num_devices: int = 0, axis_name: str = "data") -> Mesh:
@@ -62,17 +61,16 @@ def host_to_global(mesh: Mesh, *arrays, axis_name: str = "data"):
         for a in arrays)
 
 
-def make_parallel_train_step(grad_fn: Callable, step_cfg, mesh: Mesh,
-                             axis_name: str = "data"
-                             ) -> Tuple[Callable, Callable]:
-    """Wrap a per-shard grad_fn into a pmean'd data-parallel step.
+def make_global_grad_fn(grad_fn: Callable, mesh: Mesh,
+                        axis_name: str = "data") -> Callable:
+    """Lift a per-shard grad_fn into a global batch-sharded one.
 
     grad_fn(params, batch_stats, rng, *batch) -> (grads, stats, metrics)
-    where every array in *batch has a leading per-sample axis divisible by
-    the mesh size. Returns (tx, step_fn(state, lr, *batch)).
+    runs on each device's batch shard under shard_map with a per-device
+    RNG fold; gradients / BN stats / metrics come back pmean'd over the
+    mesh, so the result has the same contract as a single-chip grad_fn
+    and composes with make_train_step_from_grad and AccumStepper.
     """
-    tx = make_optimizer(step_cfg)
-    n_dev = mesh.devices.size
 
     def sharded_grads(params, batch_stats, rng, *batch):
         # distinct RNG per device (fold in the device index)
@@ -85,19 +83,28 @@ def make_parallel_train_step(grad_fn: Callable, step_cfg, mesh: Mesh,
         metrics = jax.lax.pmean(metrics, axis_name)
         return grads, new_stats, metrics
 
-    def step_impl(state: TrainState, lr, *batch):
-        rng, k = jax.random.split(state.rng)
+    def global_grads(params, batch_stats, rng, *batch):
         f = jax.shard_map(
             sharded_grads, mesh=mesh,
             in_specs=(P(), P(), P()) + tuple(P(axis_name) for _ in batch),
             out_specs=(P(), P(), P()),
             check_vma=False)
-        grads, new_stats, metrics = f(state.params, state.batch_stats, k,
-                                      *batch)
-        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
-                                       state.params, lr)
-        return TrainState(params, new_stats, opt_state, rng,
-                          state.step + 1), metrics
+        return f(params, batch_stats, rng, *batch)
 
-    step_fn = jax.jit(step_impl)
-    return tx, step_fn
+    return global_grads
+
+
+def make_parallel_train_step(grad_fn: Callable, step_cfg, mesh: Mesh,
+                             axis_name: str = "data"
+                             ) -> Tuple[Callable, Callable]:
+    """Wrap a per-shard grad_fn into a pmean'd data-parallel step.
+
+    grad_fn(params, batch_stats, rng, *batch) -> (grads, stats, metrics)
+    where every array in *batch has a leading per-sample axis divisible by
+    the mesh size. Returns (tx, step_fn(state, lr, *batch)).
+    """
+    from ..train.steps import make_train_step_from_grad
+
+    tx = make_optimizer(step_cfg)
+    return tx, make_train_step_from_grad(
+        tx, make_global_grad_fn(grad_fn, mesh, axis_name))

@@ -94,6 +94,83 @@ def _apply_sgd(tx, grads, opt_state, params, lr):
     return params, opt_state
 
 
+def make_train_step_from_grad(tx, grad_fn) -> Callable:
+    """Wrap grad_fn(params, batch_stats, rng, *batch) -> (grads, stats,
+    metrics) into the standard one-SGD-step-per-batch step function."""
+
+    @jax.jit
+    def step_fn(state: TrainState, lr, *batch):
+        rng, k = jax.random.split(state.rng)
+        grads, new_stats, metrics = grad_fn(state.params, state.batch_stats,
+                                            k, *batch)
+        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
+                                       state.params, lr)
+        return TrainState(params, new_stats, opt_state, rng,
+                          state.step + 1), metrics
+
+    return step_fn
+
+
+class AccumStepper:
+    """Caffe-style ``iter_size`` gradient accumulation (reference
+    lib/trainer.py:230-283, lib/colocation_trainer.py:828-887): gradients
+    of ``loss / iter_size`` are summed over ``iter_size`` consecutive
+    micro-batches and ONE SGD step is taken at the window end. BatchNorm
+    running stats and the RNG advance every micro-batch, exactly like the
+    reference's per-forward updates.
+
+    Drop-in for a step function: ``stepper(state, lr, *batch) ->
+    (state, metrics)``; the optimizer step fires on every
+    ``iter_size``-th call. ``reset()`` discards a partial window (the
+    reference's epoch loop runs ``len(loader) // iter_size`` full windows
+    and never steps on a remainder).
+    """
+
+    def __init__(self, tx, grad_fn, iter_size: int):
+        self.iter_size = int(iter_size)
+        self._count = 0
+        self._acc = None
+
+        @jax.jit
+        def micro(state: TrainState, acc, *batch):
+            rng, k = jax.random.split(state.rng)
+            grads, new_stats, metrics = grad_fn(
+                state.params, state.batch_stats, k, *batch)
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(a.dtype) / iter_size, acc, grads)
+            return (TrainState(state.params, new_stats, state.opt_state,
+                               rng, state.step), acc, metrics)
+
+        @jax.jit
+        def apply(state: TrainState, acc, lr):
+            params, opt_state = _apply_sgd(tx, acc, state.opt_state,
+                                           state.params, lr)
+            return TrainState(params, state.batch_stats, opt_state,
+                              state.rng, state.step + 1)
+
+        self._micro, self._apply = micro, apply
+
+    def reset(self):
+        self._acc = None
+        self._count = 0
+
+    @property
+    def boundary(self) -> bool:
+        """True right after an optimizer step (window just closed)."""
+        return self._count == 0
+
+    def __call__(self, state: TrainState, lr, *batch):
+        if self._acc is None:
+            self._acc = jax.tree_util.tree_map(jnp.zeros_like,
+                                               state.params)
+        state, self._acc, metrics = self._micro(state, self._acc, *batch)
+        self._count += 1
+        if self._count == self.iter_size:
+            state = self._apply(state, self._acc, lr)
+            self.reset()
+        return state, metrics
+
+
 def _jitter_feats(feats, mask, key, sigma, p, row_sel=None):
     """Feature jitter (reference lib/transforms.py:24-34, applied to the
     center cloud's occupancy features at load time). The reference draws
@@ -248,19 +325,7 @@ def make_gcl_train_step(model, conv_specs, step_cfg: StepConfig,
                                loss_kind, max_pos_cluster, max_hn_samples,
                                pos_weight, finest_weight, neg_weight,
                                jitter)
-
-    @jax.jit
-    def step_fn(state: TrainState, lr, points, pmask, transforms, radius):
-        rng, k = jax.random.split(state.rng)
-        grads, new_stats, metrics = grad_fn(
-            state.params, state.batch_stats, k, points, pmask, transforms,
-            radius)
-        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
-                                       state.params, lr)
-        return TrainState(params, new_stats, opt_state, rng,
-                          state.step + 1), metrics
-
-    return tx, step_fn
+    return tx, make_train_step_from_grad(tx, grad_fn)
 
 
 # ----------------------------------------------------------------------
@@ -404,20 +469,7 @@ def make_pair_train_step(model, conv_specs, step_cfg: StepConfig,
     tx = make_optimizer(step_cfg)
     grad_fn = make_pair_grad_fn(model, conv_specs, step_cfg, trainer_kind,
                                 cfg)
-
-    @jax.jit
-    def step_fn(state: TrainState, lr, points0, pmask0, points1, pmask1,
-                trans, radius):
-        rng, k_loss = jax.random.split(state.rng)
-        grads, new_stats, metrics = grad_fn(
-            state.params, state.batch_stats, k_loss, points0, pmask0,
-            points1, pmask1, trans, radius)
-        params, opt_state = _apply_sgd(tx, grads, state.opt_state,
-                                       state.params, lr)
-        return TrainState(params, new_stats, opt_state, rng,
-                          state.step + 1), metrics
-
-    return tx, step_fn
+    return tx, make_train_step_from_grad(tx, grad_fn)
 
 
 # ----------------------------------------------------------------------

@@ -20,8 +20,7 @@ from ..core.kernel_maps import default_level_caps
 from ..losses.gcl import GCLLossConfig
 from ..models import load_model
 from ..train import checkpoint as ckpt
-from ..train.steps import (StepConfig, TrainState, make_gcl_train_step,
-                           make_optimizer, make_pair_train_step,
+from ..train.steps import (StepConfig, TrainState, make_optimizer,
                            make_val_step)
 from ..train.writer import SummaryWriter
 from ..utils.timer import AverageMeter, Timer
@@ -189,6 +188,35 @@ class AlignmentTrainer:
 
     def _build_steps(self):
         raise NotImplementedError
+
+    def _steps_from_grad(self, grad_fn):
+        """Common step assembly: lift the per-shard grad_fn onto the data
+        mesh if one is active, then either the plain one-step-per-batch
+        step or the Caffe-style iter_size accumulator (reference
+        lib/trainer.py:230-283: grads of loss/iter_size summed over
+        iter_size micro-batches, one optimizer step per window)."""
+        from ..train.steps import (AccumStepper, make_optimizer,
+                                   make_train_step_from_grad)
+        if self.mesh is not None:
+            from ..parallel import make_global_grad_fn
+            grad_fn = make_global_grad_fn(grad_fn, self.mesh)
+        tx = make_optimizer(self.step_cfg)
+        if self.iter_size > 1:
+            return tx, AccumStepper(tx, grad_fn, self.iter_size)
+        return tx, make_train_step_from_grad(tx, grad_fn)
+
+    def _epoch_batches(self):
+        """Micro-batches for one epoch: with iter_size accumulation only
+        full windows run (reference: range(len(loader) // iter_size));
+        the accumulator is reset so no partial window leaks across
+        epochs."""
+        limit = (len(self.data_loader) // self.iter_size) * self.iter_size
+        for i, batch in enumerate(self.data_loader):
+            if i >= limit:
+                break
+            yield i, batch
+        if hasattr(self.step_fn, "reset"):
+            self.step_fn.reset()
 
     def _init_state(self):
         rng = jax.random.PRNGKey(0)
@@ -366,21 +394,13 @@ class ContrastiveLossTrainer(AlignmentTrainer):
     trainer_kind = "contrastive"
 
     def _build_steps(self):
+        from ..train.steps import make_pair_grad_fn
         cfg = dict(self.config)
         # per-shard loss sample counts (reference scales by batch_size)
         cfg["batch_size"] = self.shard_batch
-        if self.mesh is not None:
-            from ..parallel import make_parallel_train_step
-            from ..train.steps import make_pair_grad_fn
-            grad_fn = make_pair_grad_fn(self.model, self.specs,
-                                        self.step_cfg, self.trainer_kind,
-                                        cfg)
-            self.tx, self.step_fn = make_parallel_train_step(
-                grad_fn, self.step_cfg, self.mesh)
-        else:
-            self.tx, self.step_fn = make_pair_train_step(
-                self.model, self.specs, self.step_cfg, self.trainer_kind,
-                cfg)
+        grad_fn = make_pair_grad_fn(self.model, self.specs, self.step_cfg,
+                                    self.trainer_kind, cfg)
+        self.tx, self.step_fn = self._steps_from_grad(grad_fn)
 
     def _train_epoch(self, epoch):
         config = self.config
@@ -389,8 +409,7 @@ class ContrastiveLossTrainer(AlignmentTrainer):
                                                Timer())
         start_iter = (epoch - 1) * (len(self.data_loader)
                                     // self.iter_size)
-        curr_iter = 0
-        for batch in self.data_loader:
+        for curr_iter, batch in self._epoch_batches():
             data_timer.tic()
             args = self._feed(batch["points0"], batch["pmask0"],
                               batch["points1"], batch["pmask1"],
@@ -402,8 +421,8 @@ class ContrastiveLossTrainer(AlignmentTrainer):
             total_timer.toc()
             data_meter.update(data_time)
 
-            if curr_iter % config.stat_freq == 0:
-                step = start_iter + curr_iter
+            if curr_iter % (config.stat_freq * self.iter_size) == 0:
+                step = start_iter + curr_iter // self.iter_size
                 self.writer.add_scalar("train/loss", metrics["loss"], step)
                 self.writer.add_scalar("train/pos_loss",
                                        metrics["pos_loss"], step)
@@ -420,7 +439,6 @@ class ContrastiveLossTrainer(AlignmentTrainer):
                         total_timer.avg - data_meter.avg))
                 data_meter.reset()
                 total_timer.reset()
-            curr_iter += 1
 
 
 class HardestContrastiveLossTrainer(ContrastiveLossTrainer):
@@ -470,18 +488,10 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
             max_hn_samples=cfg.num_hn_samples_per_batch * self.shard_batch,
             pos_weight=cfg.pos_weight, finest_weight=cfg.finest_weight,
             neg_weight=cfg.neg_weight, jitter=cfg.jitter_feats)
-        if self.mesh is not None:
-            from ..parallel import make_parallel_train_step
-            from ..train.steps import make_gcl_grad_fn
-            grad_fn = make_gcl_grad_fn(self.model, self.specs,
-                                       self.step_cfg, loss_cfg,
-                                       self.loss_kind, **kwargs)
-            self.tx, self.step_fn = make_parallel_train_step(
-                grad_fn, self.step_cfg, self.mesh)
-        else:
-            self.tx, self.step_fn = make_gcl_train_step(
-                self.model, self.specs, self.step_cfg, loss_cfg,
-                self.loss_kind, **kwargs)
+        from ..train.steps import make_gcl_grad_fn
+        grad_fn = make_gcl_grad_fn(self.model, self.specs, self.step_cfg,
+                                   loss_cfg, self.loss_kind, **kwargs)
+        self.tx, self.step_fn = self._steps_from_grad(grad_fn)
 
     def _dist_err_epoch(self):
         """--calc_distance_err mode (reference
@@ -518,8 +528,7 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
                                                Timer())
         start_iter = (epoch - 1) * (len(self.data_loader)
                                     // self.iter_size)
-        curr_iter = 0
-        for batch in self.data_loader:
+        for curr_iter, batch in self._epoch_batches():
             data_timer.tic()
             args = self._feed(batch["points"], batch["pmask"],
                               batch["transforms"], batch["search_radius"])
@@ -530,8 +539,8 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
             total_timer.toc()
             data_meter.update(data_time)
 
-            if curr_iter % config.stat_freq == 0:
-                step = start_iter + curr_iter
+            if curr_iter % (config.stat_freq * self.iter_size) == 0:
+                step = start_iter + curr_iter // self.iter_size
                 for tag in ("loss", "pos_loss", "neg_loss"):
                     self.writer.add_scalar(f"train/{tag}", metrics[tag],
                                            step)
@@ -546,7 +555,6 @@ class FinestContrastiveLossTrainer(AlignmentTrainer):
                         total_timer.avg - data_meter.avg))
                 data_meter.reset()
                 total_timer.reset()
-            curr_iter += 1
 
 
 TRAINERS = {

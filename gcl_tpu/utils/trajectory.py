@@ -1,40 +1,52 @@
-"""3DMatch-format gt.log trajectory IO (reference util/trajectory.py)."""
+"""3DMatch-format ``gt.log`` trajectory IO.
+
+File format (capability parity with reference ``util/trajectory.py:16-38``):
+records of one whitespace-separated integer metadata line (fragment ids +
+total count) followed by a ``dim x dim`` pose matrix, one row per line.
+Implemented here as a whole-file block parse over a token matrix rather
+than the reference's stateful readline loop.
+"""
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
 
-class CameraPose:
-    def __init__(self, meta, mat):
-        self.metadata = meta
-        self.pose = mat
-
-    def __str__(self):
-        return ("Metadata : " + " ".join(map(str, self.metadata)) + "\n"
-                + "Pose : " + "\n" + np.array_str(self.pose))
+@dataclasses.dataclass(frozen=True)
+class TrajectoryEntry:
+    metadata: tuple  # ints from the header line (usually (i, j, n_total))
+    pose: np.ndarray  # [dim, dim] float64
 
 
 def read_trajectory(filename, dim=4):
-    traj = []
-    with open(filename, "r") as f:
-        metastr = f.readline()
-        while metastr:
-            metadata = list(map(int, metastr.split()))
-            mat = np.zeros(shape=(dim, dim))
-            for i in range(dim):
-                matstr = f.readline()
-                mat[i, :] = np.fromstring(matstr, dtype=float, sep=" \t")
-            traj.append(CameraPose(metadata, mat))
-            metastr = f.readline()
-    return traj
+    """Parse a gt.log into a list of TrajectoryEntry.
+
+    Every record spans ``dim + 1`` lines; the header line may carry any
+    number of integer fields, so lines are parsed individually and the
+    pose rows are stacked per record.
+    """
+    with open(filename) as f:
+        lines = [ln.split() for ln in f if ln.strip()]
+    rec = dim + 1
+    if len(lines) % rec:
+        raise ValueError(
+            f"{filename}: {len(lines)} non-empty lines is not a multiple "
+            f"of {rec} (dim={dim})")
+    entries = []
+    for start in range(0, len(lines), rec):
+        meta = tuple(int(tok) for tok in lines[start])
+        pose = np.array(lines[start + 1:start + rec], dtype=np.float64)
+        if pose.shape != (dim, dim):
+            raise ValueError(f"{filename}: bad pose block at line {start}")
+        entries.append(TrajectoryEntry(meta, pose))
+    return entries
 
 
 def write_trajectory(traj, filename, dim=4):
+    """Write TrajectoryEntry records (or anything with .metadata/.pose)."""
     with open(filename, "w") as f:
-        for x in traj:
-            p = x.pose.tolist()
-            f.write(" ".join(map(str, x.metadata)) + "\n")
-            f.write("\n".join(
-                " ".join(map("{0:.12f}".format, p[i]))
-                for i in range(dim)))
-            f.write("\n")
+        for entry in traj:
+            print(*entry.metadata, file=f)
+            np.savetxt(f, np.asarray(entry.pose)[:dim, :dim], fmt="%.12f",
+                       delimiter=" ")

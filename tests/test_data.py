@@ -253,3 +253,27 @@ class TestLoader:
         b0 = next(iter(l0))
         b2 = next(iter(l2))
         assert b0["meta"] == b2["meta"]  # same order, same indices
+
+
+class TestTrajectoryIO:
+    def test_gt_log_roundtrip(self, tmp_path):
+        from gcl_tpu.utils.trajectory import (TrajectoryEntry,
+                                              read_trajectory,
+                                              write_trajectory)
+        rng = np.random.RandomState(3)
+        entries = [TrajectoryEntry((i, i + 1, 37), rng.randn(4, 4))
+                   for i in range(5)]
+        path = tmp_path / "gt.log"
+        write_trajectory(entries, path)
+        back = read_trajectory(path)
+        assert len(back) == 5
+        for a, b in zip(entries, back):
+            assert a.metadata == b.metadata
+            np.testing.assert_allclose(a.pose, b.pose, atol=1e-12)
+
+    def test_rejects_truncated_file(self, tmp_path):
+        from gcl_tpu.utils.trajectory import read_trajectory
+        path = tmp_path / "gt.log"
+        path.write_text("0 1 2\n1 0 0 0\n0 1 0 0\n")
+        with pytest.raises(ValueError):
+            read_trajectory(path)

@@ -241,3 +241,85 @@ class TestSampleGates:
         pad_rows = jnp.full((5,), 10 ** 6, jnp.int32)
         gp = np.asarray(_sample_gates(key, 0.5, 4, pad_rows))
         assert gp.shape == (5,)
+
+
+class TestIterSizeAccumulation:
+    def test_accum_equals_one_step_on_mean_gradient(self):
+        """iter_size=2 over two fixed micro-batches == one SGD step on the
+        averaged gradient (reference lib/trainer.py:230-283: grads of
+        loss/iter_size accumulate, one optimizer.step per window)."""
+        from gcl_tpu.train.steps import (AccumStepper, StepConfig,
+                                         TrainState, _apply_sgd,
+                                         make_optimizer)
+
+        cfg = StepConfig(voxel_size=1.0, nv_cap=8, level_caps={1: 8},
+                         momentum=0.8, weight_decay=1e-2)
+        tx = make_optimizer(cfg)
+
+        def grad_fn(params, batch_stats, rng, x):
+            # loss = 0.5 * sum((w - x)^2); grad = w - x
+            g = {"w": params["w"] - x}
+            stats = {"seen": batch_stats["seen"] + 1}
+            return g, stats, {"loss": jnp.sum(g["w"] ** 2)}
+
+        params = {"w": jnp.arange(4.0)}
+        state = TrainState(params, {"seen": jnp.zeros(())},
+                           tx.init(params), jax.random.PRNGKey(0),
+                           jnp.zeros((), jnp.int32))
+        xa = jnp.array([1.0, -2.0, 3.0, 0.5])
+        xb = jnp.array([-1.0, 4.0, 0.0, 2.0])
+
+        stepper = AccumStepper(tx, grad_fn, iter_size=2)
+        s1, _ = stepper(state, 0.1, xa)
+        # mid-window: params unchanged, BN stats advanced
+        np.testing.assert_array_equal(np.asarray(s1.params["w"]),
+                                      np.asarray(params["w"]))
+        assert float(s1.batch_stats["seen"]) == 1
+        assert int(s1.step) == 0
+        s2, _ = stepper(s1, 0.1, xb)
+        assert int(s2.step) == 1
+
+        # oracle: one step on the mean gradient
+        g_mean = {"w": ((params["w"] - xa) + (params["w"] - xb)) / 2}
+        want, _ = _apply_sgd(tx, g_mean, tx.init(params), params, 0.1)
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   np.asarray(want["w"]), rtol=1e-6)
+
+    def test_reset_discards_partial_window(self):
+        from gcl_tpu.train.steps import (AccumStepper, StepConfig,
+                                         TrainState, make_optimizer)
+        cfg = StepConfig(voxel_size=1.0, nv_cap=8, level_caps={1: 8})
+        tx = make_optimizer(cfg)
+
+        def grad_fn(params, batch_stats, rng, x):
+            return {"w": params["w"] - x}, batch_stats, {}
+
+        params = {"w": jnp.ones(2)}
+        state = TrainState(params, {}, tx.init(params),
+                           jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+        stepper = AccumStepper(tx, grad_fn, iter_size=3)
+        s1, _ = stepper(state, 0.1, jnp.zeros(2))
+        stepper.reset()
+        # a fresh window after reset behaves like a clean start
+        s2, _ = stepper(s1, 0.1, jnp.full(2, 9.0))
+        np.testing.assert_array_equal(np.asarray(s2.params["w"]),
+                                      np.asarray(params["w"]))
+        assert stepper._count == 1
+
+    def test_gcl_trainer_epoch_with_iter_size(self, synth_env, tmp_path):
+        """The trainer runs full windows only: 2 loader batches at
+        iter_size=2 -> exactly one optimizer step."""
+        cfg = tiny_config(synth_env, tmp_path / "run_is",
+                          trainer="FinestContrastiveLossTrainer",
+                          iter_size=2, batch_size=1)
+        tl, _ = small_loaders(cfg)
+        trainer = get_trainer(cfg.trainer)(cfg, tl, None)
+        n_windows = len(tl) // 2
+        assert n_windows >= 1
+        p_before = jax.device_get(trainer.state.params)
+        trainer.train()
+        assert int(trainer.state.step) == n_windows
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p_before,
+            jax.device_get(trainer.state.params))
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
