@@ -35,6 +35,26 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 6.4e5
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the bench-scale step takes 5-10 min
+    to compile fresh on the tunneled TPU; an identical program reloads
+    from .jax_cache/ in seconds across processes (including the profile
+    scripts, which import this module)."""
+    try:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def synth_lidar(rng, n_points):
     """LiDAR-like scan: ground disc + vertical structures, ~120 m spread."""
     n_ground = int(n_points * 0.6)

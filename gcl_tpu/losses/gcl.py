@@ -117,6 +117,16 @@ def _negative_loss(f_out, voxel_mask, pos_pairs, pos_pair_mask, key,
     k1, k2, kr = jax.random.split(key, 3)
     sel1, v1 = sample_without_replacement(k1, voxel_mask, max_hn_samples)
     sel2, v2 = sample_without_replacement(k2, voxel_mask, max_hn_samples)
+    return negative_loss_from_sel(f_out, sel1, v1, sel2, v2, pos_pairs,
+                                  pos_pair_mask, kr, cfg)
+
+
+def negative_loss_from_sel(f_out, sel1, v1, sel2, v2, pos_pairs,
+                           pos_pair_mask, kr, cfg: GCLLossConfig):
+    """The negative hinge given explicit candidate subsets.
+
+    Split out of _negative_loss so cross-implementation parity tests can
+    pin the exact (sel1, sel2) the reference's np.random.choice drew."""
     d = pdist_l2(f_out[sel1], f_out[sel2]) + _BIG * (~v2)[None, :]
     if cfg.use_hard_negative:
         dmin, j = jnp.min(d, 1), jnp.argmin(d, 1)

@@ -39,6 +39,86 @@ def kernel_interpret():
          device_pipeline.FORCE_INTERPRET) = prev
 
 
+def tiny_kernel_exec(cap: int = 64, n_clouds: int = 2,
+                     points_per_cloud: int = 128) -> dict:
+    """EXECUTE the production Pallas kernels in interpret mode on tiny
+    shapes — catches index-math / out-of-bounds kernel bugs that the
+    trace-only leg (tiny_gcl_interpret_step) cannot see, at ~1 min on
+    one CPU instead of the ~5 min a full-step interpret execute costs.
+
+    Covers, with real compute and value checks:
+      * fused kernel-map construction (build_graph in interpret mode);
+      * every ResUNetFatBN conv forward + one-pass fused backward,
+        including the Cin==1 presence kernels on conv1 (value_and_grad
+        through model.apply);
+      * the windowed cell-top-k radius search used by the colocation
+        group builder (build_colocation_groups with an explicit cell).
+
+    Returns {"out_sumsq", "grad_norm", "n_groups"} after asserting all
+    are finite / positive.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core.kernel_maps import build_graph
+    from .data.device_pipeline import (build_colocation_groups,
+                                       voxelize_per_cloud)
+    from .models.resunet import ResUNetFatBN
+
+    model = ResUNetFatBN(1, 32, bn_momentum=0.05, normalize_feature=True,
+                         conv1_kernel_size=5, D=3)
+    specs = ResUNetFatBN.conv_specs(5)
+    strides = sorted({s for sp in specs
+                      for s in (sp.in_stride, sp.out_stride)})
+
+    with kernel_interpret():
+        coords = np.zeros((cap, 4), np.int32)
+        coords[:, 1] = np.arange(cap)
+        g = build_graph(jnp.asarray(coords),
+                        jnp.asarray(np.ones(cap, bool)), specs,
+                        {s: cap for s in strides})
+        variables = model.init(jax.random.PRNGKey(0), g,
+                               jnp.ones((cap, 1)), train=False)
+
+        # target projection: sum(out^2) would be constant under the
+        # model's feature normalization (zero gradient everywhere)
+        tgt = jnp.asarray(
+            np.random.RandomState(1).randn(cap, 32).astype(np.float32))
+
+        def f(params, feats):
+            out = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]}, g, feats,
+                train=False)
+            return jnp.sum((out - tgt) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(f))(
+            variables["params"], jnp.ones((cap, 1)))
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(x * x) for x in jax.tree_util.tree_leaves(grads)))
+        jax.block_until_ready(val)
+
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(
+            rng.randn(n_clouds, points_per_cloud, 3).astype(np.float32)
+            * 3)
+        vox = voxelize_per_cloud(pts, jnp.ones((n_clouds,
+                                                points_per_cloud), bool),
+                                 0.5, cap)
+        eye = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32),
+                                          (n_clouds, 4, 4)).copy())
+        groups = jax.jit(lambda v, t: build_colocation_groups(
+            v, t, 0.8, k=4, chunk=128, cell=1.6))(vox, eye)
+        n_groups = int(jnp.sum(groups.valid))
+
+    assert bool(jnp.isfinite(val)), f"non-finite kernel forward: {val}"
+    assert float(gnorm) > 0, "zero gradient through the fused backward"
+    assert n_groups > 0, "windowed top-k search produced no groups"
+    return {"out_sumsq": float(val), "grad_norm": float(gnorm),
+            "n_groups": n_groups}
+
+
 def tiny_gcl_interpret_step(nv: int = 128, n_clouds: int = 2,
                             points_per_cloud: int = 192,
                             execute: bool = False):

@@ -19,6 +19,16 @@ def test_gcl_step_interpret_trace():
     assert tiny_gcl_interpret_step() is None
 
 
+def test_kernel_exec_tiny():
+    """Executed-kernel leg (~1 min): fused conv fwd/bwd, presence
+    kernels, kernel maps and the windowed top-k run for real on tiny
+    shapes, so index-math/OOB kernel bugs fail off-TPU too."""
+    from gcl_tpu.testing import tiny_kernel_exec
+
+    m = tiny_kernel_exec()
+    assert m["n_groups"] > 0 and m["grad_norm"] > 0
+
+
 @pytest.mark.slow
 def test_gcl_step_interpret_execute():
     """Full compile+run of the interpret-mode step (minutes on CPU):
