@@ -240,6 +240,12 @@ tpu_arg.add_argument(
     default=os.environ.get("GCL_CONV_FOLD", "0") == "1",
     help="fold narrow channels (C<128) into 128-lane gather windows "
          "(exact; currently a net step-time loss at bench scale)")
+tpu_arg.add_argument(
+    "--conv_stack", type=int,
+    default=int(os.environ.get("GCL_CONV_STACK", "1")),
+    help="Pallas conv kernel: offsets lane-concat per accumulate GEMM "
+         "(narrow-channel MXU depth fill; applied per conv only when "
+         "it reduces MXU passes)")
 tpu_arg.add_argument("--jitter_feats", type=str2bool, default=True,
                      help="train-phase feature jitter (lib/transforms.py)")
 tpu_arg.add_argument("--jitter_mode", type=str, default="input",

@@ -65,7 +65,8 @@ WIN = int(os.environ.get("GCL_CONV_WIN", "384"))    # window rows (mult 128)
 
 
 def configure(*, tile: int = None, win: int = None, win_down: int = None,
-              pair: int = None, fold: bool = None) -> None:
+              pair: int = None, fold: bool = None,
+              stack: int = None) -> None:
     """Override the kernel tuning knobs from the config system.
 
     The env vars (GCL_CONV_TILE/WIN/WIN_DOWN/PAIR/FOLD) only provide the
@@ -75,7 +76,9 @@ def configure(*, tile: int = None, win: int = None, win_down: int = None,
     Must be called before any step function is traced — the window
     tables baked into kernel maps depend on these values.
     """
-    global TILE, WIN, WIN_DOWN, PAIR, FOLD
+    global TILE, WIN, WIN_DOWN, PAIR, FOLD, STACK
+    if stack is not None:
+        STACK = int(stack)
     if tile is not None:
         TILE = int(tile)
     if win is not None:
@@ -100,7 +103,8 @@ def configure_from(config) -> None:
               win=getattr(config, "conv_win", None),
               win_down=getattr(config, "conv_win_down", None),
               pair=getattr(config, "conv_pair", None),
-              fold=getattr(config, "conv_fold", None))
+              fold=getattr(config, "conv_fold", None),
+              stack=getattr(config, "conv_stack", None))
 
 # int32 key guaranteed absent from every packed target-key array:
 # 0xFFFFFFFE sits above the PAD_CLOUD target range (0xF8000000 + row,
@@ -251,6 +255,31 @@ def _pair_for(k: int, grp: int) -> int:
     return PAIR if PAIR > 1 and kg % PAIR == 0 else 1
 
 
+# Offsets per stacked accumulate GEMM in the generic fwd/bwd kernels:
+# STACK consecutive offsets' gathered [TILE, C] blocks lane-concat into
+# one [TILE, STACK*C] @ [STACK*C, Cout] MXU contraction, so narrow
+# channels stop wasting contraction depth (C=32 fills 32 of 128 MXU
+# rows; stacked 96 of 128 in a third the passes). Channels stay
+# UNPADDED in this mode (the 128-lane pad also cost 4x the window DMA
+# at C=32). Applied per conv only when it reduces MXU passes
+# (_stack_for) and pair == 1.
+STACK = int(os.environ.get("GCL_CONV_STACK", "1"))
+
+
+def _stack_for(k: int, grp: int, c_contract: int, pair: int) -> int:
+    """Stacked-offset count for a conv whose accumulate GEMM contracts
+    over c_contract channels (Cin fwd, Cout bwd); 1 = unstacked."""
+    s = STACK
+    if s <= 1 or pair != 1 or c_contract % 8 != 0:
+        return 1
+    if (k // grp) % s != 0:
+        return 1
+    # only when stacking actually reduces 128-granular MXU passes
+    if s * _cdiv(c_contract, 128) <= _cdiv(s * c_contract, 128):
+        return 1
+    return s
+
+
 def _pack_qkey_pairs(qp: jax.Array, n_tiles: int, pair: int) -> jax.Array:
     """[K, n_tiles*TILE] query keys -> [K//pair, n_tiles*pair*TILE] with
     each row holding `pair` consecutive offsets' keys per output tile
@@ -288,7 +317,7 @@ def _seg_vidx(nch: jax.Array, rows: jax.Array, win: int) -> jax.Array:
 def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                      sems, K, G, W, dt, mm_precision, pair=1,
-                     segs=None):
+                     segs=None, stack=1, cw=None):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
@@ -324,15 +353,29 @@ def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
             x_hbm.at[pl.ds(base, W), :], xwin_ref.at[slot],
             sems.at[slot, 1])
 
+    def gather_one(j, tk, win):
+        q = qk_ref[j, :][:, None]
+        oh = (q == tk).astype(dt)
+        return jnp.dot(oh, win, preferred_element_type=jnp.float32,
+                       precision=mm_precision)
+
     def run_group(g, tk, win):
         # pair > 1: qk_ref rows are [pair*TILE] pre-stacked lane vectors
         lo, hi = g * kg // pair, (g + 1) * kg // pair
+        if stack > 1:
+            # S consecutive offsets' gathers (sliced to the REAL channel
+            # count cw — the window stays 128-lane padded for the DMA)
+            # lane-concat into ONE full-depth accumulate GEMM
+            # ([TILE, S*cw] @ [S*cw, Cout]); body receives the STACKED
+            # index (weights pre-reshaped to [K//S, S*cw, Cout] by the
+            # wrapper). Requires pair == 1.
+            wn = win if cw is None else win[:, :cw]
+            for j0 in range(lo, hi, stack):
+                gxs = [gather_one(j0 + t, tk, wn) for t in range(stack)]
+                body(j0 // stack, jnp.concatenate(gxs, axis=1))
+            return
         for j in range(lo, hi):
-            row = qk_ref[j, :]
-            q = row[:, None]  # [pair*TILE, 1]
-            oh = (q == tk).astype(dt)
-            gx = jnp.dot(oh, win, preferred_element_type=jnp.float32,
-                         precision=mm_precision)
+            gx = gather_one(j, tk, win)
             for idx in range(pair):
                 body(j * pair + idx, gx[idx * TILE:(idx + 1) * TILE])
 
@@ -393,18 +436,22 @@ def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
 def _fwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, tk_hbm,
                 x_hbm, out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                 acc_ref, sems, *, K, G, W, mm_precision, pair=1,
-                segs=None):
+                segs=None, stack=1, cw=None):
     dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     def body(k, gx):
+        # stack > 1: k is the STACKED index, gx is [TILE, stack*cw] and
+        # w_ref rows are [K//stack, stack*cw, Cout] — one full-depth GEMM
+        # accumulates `stack` offsets.
         acc_ref[:, :] += jnp.dot(gx.astype(dt), w_ref[k],
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
 
     _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-                     sems, K, G, W, dt, mm_precision, pair, segs)
+                     sems, K, G, W, dt, mm_precision, pair, segs, stack,
+                     cw)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
@@ -436,7 +483,8 @@ def _dw_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, g_ref, tk_hbm,
 def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
                 tk_hbm, g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref,
                 kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, W,
-                mm_precision, pair=1, segs=None):
+                mm_precision, pair=1, segs=None, stack=1, cw=None,
+                spad=0):
     """dX AND dW in ONE windowed pass over the REVERSE map.
 
     Runs over tiles of the conv's IN level (the reverse map's outputs),
@@ -473,7 +521,13 @@ def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
     xt_t = x_ref[:, :]  # [C, TILE] pre-transposed input features
 
     def body(k, gg):
+        # stack > 1: k is the STACKED index, gg is [TILE, stack*COUT]
+        # (lane-padded by spad to the dw block's 128-multiple minor);
+        # w_ref rows are [K//stack, SP, C] and dw_ref accumulates
+        # [K//stack, C, SP] (the wrapper unstacks + flips).
         ggd = gg.astype(dt)  # [TILE, COUT] gathered grad rows
+        if spad:
+            ggd = jnp.pad(ggd, ((0, 0), (0, spad)))
         acc_ref[:, :] += jnp.dot(ggd, w_ref[k],
                                  preferred_element_type=jnp.float32,
                                  precision=mm_precision)
@@ -483,7 +537,8 @@ def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
 
     _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      g_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-                     sems, K, G, W, dt, mm_precision, pair, segs)
+                     sems, K, G, W, dt, mm_precision, pair, segs, stack,
+                     cw)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -1456,12 +1511,25 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     vidx = (_seg_vidx(nch, rows, win) if rows is not None
             else jnp.zeros_like(nch))
     qp = _pad_qkey(qkey, n_tiles)
-    c = _cdiv(max(c0, 1), 128) * 128
-    xp = _pad_feats(feats, t_pad, c)
-    cout = _cdiv(max(cout0, 1), 128) * 128
-    wd = jnp.pad(weights.astype(feats.dtype),
-                 ((0, 0), (0, c - c0), (0, cout - cout0)))
     pair = _pair_for(k, grp)
+    stack = _stack_for(k, grp, c0, pair)
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    if stack > 1:
+        # stacked mode: the window stays 128-lane padded (DMA minor-dim
+        # constraint) but the kernel slices gathers to the REAL c0 and
+        # lane-concats `stack` offsets into one full-depth GEMM; weights
+        # rows [sidx] = [W_k; W_k+1; W_k+2] along the contraction dim.
+        w_rows = stack * c0
+        wd = jnp.pad(
+            weights.astype(feats.dtype).reshape(k // stack, w_rows,
+                                                cout0),
+            ((0, 0), (0, 0), (0, cout - cout0)))
+    else:
+        w_rows = c
+        wd = jnp.pad(weights.astype(feats.dtype),
+                     ((0, 0), (0, c - c0), (0, cout - cout0)))
+    xp = _pad_feats(feats, t_pad, c)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
         q_spec = pl.BlockSpec((k // pair, pair * TILE),
@@ -1473,13 +1541,15 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
 
     kern = functools.partial(_fwd_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair, segs=segs)
+                             pair=pair, segs=segs, stack=stack,
+                             cw=(c0 if stack > 1 else None))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             q_spec,
-            pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((k // stack, w_rows, cout),
+                         lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1622,15 +1692,25 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     vidx = (_seg_vidx(rnch, rrows, rwin) if rrows is not None
             else jnp.zeros_like(rnch))
     qp = _pad_qkey(rqkey, n_tiles)
+    pair = _pair_for(k, grp)
+    # bwd GEMMs contract over Cout (the gathered grad's channel dim)
+    stack = _stack_for(k, grp, cout0, pair)
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
-    wd = jnp.pad(w_rev_t, ((0, 0), (0, cout - cout0), (0, c - c0)))
+    if stack > 1:
+        # stacked rows [W_k; W_k+1; W_k+2]^T along the contraction dim,
+        # lane-padded to the dw block's 128-multiple minor width SP
+        sp = _cdiv(stack * cout0, 128) * 128
+        wd = jnp.pad(w_rev_t.reshape(k // stack, stack * cout0, c0),
+                     ((0, 0), (0, sp - stack * cout0), (0, c - c0)))
+    else:
+        sp = cout
+        wd = jnp.pad(w_rev_t, ((0, 0), (0, cout - cout0), (0, c - c0)))
     gp = _pad_feats(g.astype(feats.dtype), t_pad, cout)
     # x tiles ship pre-transposed [C, n_rows] (see _bwd_kernel docstring)
     xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
         :c0, :n_in].set(feats.T)
-    pair = _pair_for(k, grp)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
         q_spec = pl.BlockSpec((k // pair, pair * TILE),
@@ -1642,13 +1722,17 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
 
     kern = functools.partial(_bwd_kernel, K=k, G=grp, W=rwin,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair, segs=segs)
+                             pair=pair, segs=segs, stack=stack,
+                             cw=(cout0 if stack > 1 else None),
+                             spad=(sp - stack * cout0 if stack > 1
+                                   else 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             q_spec,
-            pl.BlockSpec((k, cout, c), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((k // stack, sp, c),
+                         lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -1658,7 +1742,8 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
         out_specs=(
             pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((k // stack, c, sp),
+                         lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -1675,7 +1760,7 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles * TILE, c), feats.dtype),
-            jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
+            jax.ShapeDtypeStruct((k // stack, c, sp), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * n_tiles * TILE * (rwin * cout + cout * c
@@ -1687,6 +1772,12 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
         ),
         interpret=interpret,
     )(rstarts, rnch, vidx, qp, wd, xp, rtkeys, gp)
+    if stack > 1:
+        dw = jnp.transpose(
+            dw[:, :c0, :stack * cout0].reshape(k // stack, c0, stack,
+                                               cout0),
+            (0, 2, 1, 3)).reshape(k, c0, cout0)
+        return dx[:n_in, :c0], dw[::-1]
     return dx[:n_in, :c0], dw[::-1, :c0, :cout0]
 
 
