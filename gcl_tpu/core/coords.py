@@ -93,9 +93,21 @@ def searchsorted2(key_hi: jax.Array, key_lo: jax.Array,
 def searchsorted1(keys: jax.Array, q: jax.Array) -> jax.Array:
     """Lower-bound binary search on a single sorted int32 key array."""
     n = keys.shape[0]
-    iters = max(1, math.ceil(math.log2(n + 1)))
-    lo_b = jnp.zeros(q.shape, jnp.int32)
-    hi_b = jnp.full(q.shape, n, jnp.int32)
+    return searchsorted1_bounded(keys, q, jnp.zeros(q.shape, jnp.int32),
+                                 jnp.full(q.shape, n, jnp.int32), n)
+
+
+def searchsorted1_bounded(keys: jax.Array, q: jax.Array, lo0: jax.Array,
+                          hi0: jax.Array, max_seg: int) -> jax.Array:
+    """Lower-bound search with per-query [lo0, hi0) bounds.
+
+    Lets several independently-sorted key arrays share ONE serial
+    search loop: concatenate them, offset each query's bounds to its
+    segment, subtract the offset from the result. max_seg bounds the
+    iteration count (the largest segment length)."""
+    n = keys.shape[0]
+    iters = max(1, math.ceil(math.log2(max_seg + 1)))
+    lo_b, hi_b = lo0, hi0
 
     def body(_, carry):
         lo_b, hi_b = carry
@@ -187,6 +199,36 @@ def pack_query_keys(coords: jax.Array, offset: jax.Array, in_stride: int,
     pad_key = ((jnp.int32(PAD_CLOUD) << (bx + by + bz))
                | jnp.int32(1 << 26)) + jnp.arange(n, dtype=jnp.int32)
     return jnp.where(valid, key, pad_key).astype(jnp.int32)
+
+
+def pack_query_keys_clamped(coords: jax.Array, offset: jax.Array,
+                            in_stride: int,
+                            bits=DEFAULT_KEY_BITS) -> jax.Array:
+    """Always-valid packed key of clamp(coords.xyz + offset) at
+    `in_stride` — a monotone BOUND, not an exact query key.
+
+    Used for conservative window extrema (kernel_maps._build_fused_maps):
+    within one dx-group every offset shares dx, so
+    pack(clamp(first_coord + off_min)) <= every valid query key of the
+    group <= pack(clamp(last_coord + off_max)) (componentwise monotone
+    packing + lex order with the shared leading component). Off-lattice
+    and out-of-range handling is irrelevant for bounds: clamping only
+    widens the window. Padded rows (cloud >= PAD_CLOUD) still map to the
+    query-pad space so fully-padded tiles keep empty windows.
+    """
+    bx, by, bz = bits
+    n = coords.shape[0]
+    c = coords[:, 0]
+    qxyz = coords[:, 1:4] + offset[None, :]
+    xyz = qxyz // in_stride
+    half = jnp.array([1 << (bx - 1), 1 << (by - 1), 1 << (bz - 1)],
+                     jnp.int32)
+    u = jnp.clip(xyz + half[None, :], 0, (half * 2)[None, :] - 1)
+    key = ((c << (bx + by + bz)) | (u[:, 0] << (by + bz))
+           | (u[:, 1] << bz) | u[:, 2])
+    pad_key = ((jnp.int32(PAD_CLOUD) << (bx + by + bz))
+               | jnp.int32(1 << 26)) + jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(c < PAD_CLOUD, key, pad_key).astype(jnp.int32)
 
 
 def kernel_offsets(kernel_size: int) -> jnp.ndarray:

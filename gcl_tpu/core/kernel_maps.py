@@ -130,13 +130,47 @@ def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
     b = coords0[:, 0:1]
     xyz = (coords0[:, 1:4] // stride) * stride
     coords = jnp.concatenate([b, xyz], axis=1)
-    hi, lo = coord_keys(coords, stride)
-    hi_s, lo_s, coords_s = sort_by_keys(hi, lo, coords)
-    first = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-    ])
-    valid = first & (coords_s[:, 0] != INVALID_BATCH)
+    if n_clouds is not None:
+        # Single-int32 sort key: under the blocked gate clouds are < 31
+        # and coords sit inside the conv key window (voxelize drops the
+        # rest), so (cloud, x/s, y/s, z/s) packs into <= 31 bits — the
+        # dedup sort drops from 3 int32 operands to 2. Key order equals
+        # (hi, lo) lex order for in-window coords; the emitted key index
+        # is recomputed from the sorted coords so outputs are identical.
+        import math as _m
+        los, bits = [], []
+        for half in (512, 512, 64):
+            lo_c = _m.floor(-half / stride)
+            hi_c = _m.floor((half - 1) / stride)
+            los.append(lo_c)
+            bits.append(max(1, (hi_c - lo_c).bit_length()))
+        assert 5 + sum(bits) <= 31, (stride, bits)
+        q = coords[:, 1:4] // stride
+        u = q - jnp.asarray(los, jnp.int32)[None, :]
+        key = coords[:, 0]
+        for a in range(3):
+            key = (key << bits[a]) | u[:, a]
+        sen = jnp.int32(0x7FFFFFFF)
+        in_r = jnp.all((u >= 0) & (u < (1 << jnp.asarray(bits))[None, :]),
+                       axis=1)
+        ok = in_r & (coords[:, 0] < 31)
+        key = jnp.where(ok, key, sen)
+        iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+        key_s, perm = jax.lax.sort((key, iota), num_keys=1,
+                                   is_stable=True)
+        coords_s = coords[perm]
+        hi_s, lo_s = coord_keys(coords_s, stride)
+        first = jnp.concatenate([
+            jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+        valid = first & (key_s != sen)
+    else:
+        hi, lo = coord_keys(coords, stride)
+        hi_s, lo_s, coords_s = sort_by_keys(hi, lo, coords)
+        first = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        ])
+        valid = first & (coords_s[:, 0] != INVALID_BATCH)
     vcum = jnp.cumsum(valid.astype(jnp.int32))  # inclusive valid count
     vr = vcum - 1                               # global valid rank
     if n_clouds is None:
@@ -328,55 +362,31 @@ _SIGN = jnp.int32(-2 ** 31)  # XOR flips int32 compare to unsigned order
 _UPAD = jnp.int32(0x78000000)
 
 
-def _window_bounds(qk: jax.Array):
-    """Per-(dx-group, output-tile) query-key extrema from packed keys.
-
-    With the mod-31 fold injective (build_graph's fused gate), packed
-    keys are lexicographic in (cloud, x, y, z) under UNSIGNED int32
-    order; XOR of the sign bit makes that the native signed order.
-    Pad queries land at >= _UPAD and are masked out. Returns
-    (lo, hi, grp_any) flattened over [G * n_tiles] plus (grp, n_tiles).
-    """
-    from .pallas_conv import TILE, num_offset_groups
-
-    k, n_out = qk.shape
-    grp = num_offset_groups(k)
-    kg = k // grp
-    n_tiles = -(-n_out // TILE)
-    u = qk ^ _SIGN
-    pad = n_tiles * TILE - n_out
-    if pad:
-        u = jnp.pad(u, ((0, 0), (0, pad)),
-                    constant_values=jnp.int32(0x7FFFFFFF))
-    u_t = u.reshape(k, n_tiles, TILE)
-    valid = u_t < _UPAD
-    big = jnp.int32(0x7FFFFFFF)
-    small = jnp.int32(-2 ** 31)
-    lo = jnp.min(jnp.where(valid, u_t, big), axis=2)   # [K, n_tiles]
-    hi = jnp.max(jnp.where(valid, u_t, small), axis=2)
-    lo = jnp.min(lo.reshape(grp, kg, n_tiles), axis=1)  # [G, n_tiles]
-    hi = jnp.max(hi.reshape(grp, kg, n_tiles), axis=1)
-    grp_any = jnp.any(jnp.any(valid, axis=2).reshape(grp, kg, n_tiles),
-                      axis=1)
-    return (lo.reshape(-1), hi.reshape(-1), grp_any.reshape(-1),
-            grp, n_tiles)
-
-
-def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
-                      upk_sorted, n_valid, t_pad: int, win: int,
-                      grp: int, n_tiles: int):
-    """Window start/chunk-count from pre-searched key positions."""
-    n = upk_sorted.shape[0]
-    has = grp_any & (pos_lo < n_valid)
-    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
-    # pos_hi is the LOWER bound of the max query key: when that key is
-    # absent the last possibly-matching target is pos_hi - 1, not pos_hi
-    # (which can sit a whole cloud block away under the blocked layout)
+def _row_last(pos_hi, hq, pos_lo, in_level, upk_sorted, n_valid, n):
+    """Row of the LAST possibly-matching target for a max-query-key
+    lower-bound position: pos_hi when the key is present, else
+    pos_hi - 1 (which can sit a whole cloud block away under the
+    blocked layout)."""
     pos_hi_c = jnp.clip(jnp.minimum(pos_hi, n_valid - 1), 0, n - 1)
     exact = upk_sorted[pos_hi_c] == hq
     last = jnp.where(exact, pos_hi_c, jnp.maximum(pos_hi - 1, pos_lo))
     last = jnp.clip(jnp.minimum(last, n_valid - 1), 0, n - 1)
-    row_hi = in_level.perm[last]
+    return in_level.perm[last]
+
+
+def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
+                      upk_sorted, n_valid, t_pad: int, win: int,
+                      grp: int, n_tiles: int, split=None):
+    """Window start/chunk-count from pre-searched key positions.
+
+    split: None, or (pos_hi0, hq0, pos_lo1, any0, any1) — the per-half
+    positions/keys for the TILE==256 split variant; qualifying tiles
+    come back with NEGATED rows (see FusedMap.rows)."""
+    n = upk_sorted.shape[0]
+    has = grp_any & (pos_lo < n_valid)
+    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
+    row_hi = _row_last(pos_hi, hq, pos_lo, in_level, upk_sorted,
+                       n_valid, n)
     start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
     span = row_hi - start + 1
     nch = jnp.where(has, -(-span // win), 0)
@@ -384,6 +394,23 @@ def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
     # rows covered by chunk 0 (<= win): the kernels narrow the one-hot
     # compare + gather GEMM to the smallest sufficient 128-multiple
     rows = jnp.where(has, jnp.clip(span, 1, win), 0)
+    split_ok = None
+    if split is not None and win > 128:
+        # both 128-row halves' matches fit the (win-128)-wide static
+        # slice at their half's 128-lane offset of THIS chunk-0 window
+        pos_hi0, hq0, pos_lo1, any0, any1 = split
+        ws = win - 128
+        row_hi0 = _row_last(pos_hi0, hq0, pos_lo, in_level, upk_sorted,
+                            n_valid, n)
+        has1 = any1 & (pos_lo1 < n_valid)
+        row_lo1 = in_level.perm[jnp.clip(pos_lo1, 0, n - 1)]
+        split_ok = (has & any0 & has1 & (nch == 1)
+                    & (row_hi0 < start + ws)
+                    & (row_lo1 >= start + 128)
+                    & (row_hi < start + 128 + ws))
+        # encoded in rows' SIGN (FusedMap.rows docstring): no new
+        # field/argument anywhere between the builder and the kernels
+        rows = jnp.where(split_ok, -rows, rows)
     return (start.reshape(grp, n_tiles).astype(jnp.int32),
             nch.reshape(grp, n_tiles).astype(jnp.int32),
             rows.reshape(grp, n_tiles).astype(jnp.int32))
@@ -391,7 +418,7 @@ def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
 
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     """FusedMap per unique conv geometry (qkey + windows + level keys)."""
-    from .coords import pack_keys, pack_query_keys, searchsorted1
+    from .coords import pack_keys, pack_query_keys
     from .pallas_conv import max_win, win_for_map
 
     tkeys = {}
@@ -415,43 +442,154 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
             jnp.where(mid_pad, jnp.int32(-2 ** 31), upk))
 
     folded_out = {s: _fold_clouds(lv.coords) for s, lv in levels.items()}
-    # pass 1: query keys + per-tile key extrema for every map
-    pending = []  # (sp, qk, lo, hi, grp_any, grp, n_tiles)
+    # pass 1: query keys for the kernels + CONSERVATIVE per-(group,
+    # tile) key extrema for the windows. The extrema come from each
+    # tile's first/last VALID output coords plus the dx-group's
+    # componentwise extreme offsets (O(n_tiles) work) instead of
+    # min/max reductions over the full [K, N] query-key arrays (the
+    # former window-bound builds were ~O(K*N) — the graph phase's
+    # largest cost). Within a dx-group every offset shares dx, so
+    # pack(clamp(first + off_min)) <= every valid query key <=
+    # pack(clamp(last + off_max)) — see pack_query_keys_clamped.
+    from .coords import pack_query_keys_clamped
+    ext_cache: Dict[int, tuple] = {}
+
+    def tile_extremes(s):
+        if s in ext_cache:
+            return ext_cache[s]
+        from .pallas_conv import TILE
+        fc = folded_out[s]
+        v = levels[s].mask
+        n = fc.shape[0]
+        nt = -(-n // TILE)
+        pad = nt * TILE - n
+        if pad:
+            fill = jnp.full((pad, 4), INVALID_BATCH, jnp.int32)
+            fc = jnp.concatenate([fc, fill])
+            v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
+        v_t = v.reshape(nt, TILE)
+        iota = jnp.arange(TILE, dtype=jnp.int32)[None, :]
+        fi = jnp.min(jnp.where(v_t, iota, TILE), axis=1)
+        li = jnp.max(jnp.where(v_t, iota, -1), axis=1)
+        base = jnp.arange(nt, dtype=jnp.int32) * TILE
+        first_c = fc[base + jnp.clip(fi, 0, TILE - 1)]
+        last_c = fc[base + jnp.clip(li, 0, TILE - 1)]
+        tile_any = jnp.any(v_t, axis=1)
+        # split-variant half extremes (SPLIT gate; TILE == 256)
+        halves = None
+        from .pallas_conv import SPLIT
+        if SPLIT and TILE == 256:
+            v_h = v_t.reshape(nt, 2, 128)
+            ih = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+            fi1 = jnp.min(jnp.where(v_h[:, 1], ih[:, 0], 128), axis=1)
+            li0 = jnp.max(jnp.where(v_h[:, 0], ih[:, 0], -1), axis=1)
+            last_c0 = fc[base + jnp.clip(li0, 0, 127)]
+            first_c1 = fc[base + 128 + jnp.clip(fi1, 0, 127)]
+            halves = (last_c0, first_c1, jnp.any(v_h[:, 0], axis=1),
+                      jnp.any(v_h[:, 1], axis=1))
+        ext_cache[s] = (first_c, last_c, tile_any, halves)
+        return ext_cache[s]
+
+    pending = []  # (sp, qk, lo, hi, grp_any, grp, n_tiles, halves)
     for sp in specs:
         offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
         qk = jax.vmap(
             lambda o, sp=sp: pack_query_keys(
                 folded_out[sp.out_stride], o, sp.in_stride)
         )(jnp.asarray(offsets))
-        lo, hi, grp_any, grp, n_tiles = _window_bounds(qk)
-        pending.append((sp, qk, lo, hi, grp_any, grp, n_tiles))
+        from .pallas_conv import num_offset_groups
+        k = offsets.shape[0]
+        grp = num_offset_groups(k)
+        offs_g = offsets.reshape(grp, k // grp, 3)
+        omin, omax = offs_g.min(axis=1), offs_g.max(axis=1)  # [G, 3]
+        first_c, last_c, tile_any, hext = tile_extremes(sp.out_stride)
+        n_tiles = first_c.shape[0]
+        lo = jnp.stack([
+            pack_query_keys_clamped(first_c, jnp.asarray(omin[g]),
+                                    sp.in_stride) ^ _SIGN
+            for g in range(grp)])
+        hi = jnp.stack([
+            pack_query_keys_clamped(last_c, jnp.asarray(omax[g]),
+                                    sp.in_stride) ^ _SIGN
+            for g in range(grp)])
+        grp_any = jnp.broadcast_to(tile_any[None, :], (grp, n_tiles))
+        halves = None
+        if hext is not None:
+            last_c0, first_c1, any0, any1 = hext
+            hi0 = jnp.stack([
+                pack_query_keys_clamped(last_c0, jnp.asarray(omax[g]),
+                                        sp.in_stride) ^ _SIGN
+                for g in range(grp)])
+            lo1 = jnp.stack([
+                pack_query_keys_clamped(first_c1, jnp.asarray(omin[g]),
+                                        sp.in_stride) ^ _SIGN
+                for g in range(grp)])
+            halves = (hi0.reshape(-1), lo1.reshape(-1),
+                      jnp.broadcast_to(any0[None, :],
+                                       (grp, n_tiles)).reshape(-1),
+                      jnp.broadcast_to(any1[None, :],
+                                       (grp, n_tiles)).reshape(-1))
+        pending.append((sp, qk, lo.reshape(-1), hi.reshape(-1),
+                        grp_any.reshape(-1), grp, n_tiles, halves))
 
-    # pass 2: ONE batched binary search per input level (a serial
-    # ~20-iteration gather loop each — 2 per map adds up at ~22 maps)
-    pos: Dict[int, jax.Array] = {}
-    for s in levels:
+    # pass 2: ONE bounded binary search for ALL levels at once — the
+    # per-level key arrays concatenate into one search space and each
+    # query's [lo, hi) bounds confine it to its level's segment, so a
+    # single ~20-iteration serial gather loop replaces one per level.
+    from .coords import searchsorted1_bounded
+    lev_order = [s for s in levels
+                 if any(p[0].in_stride == s for p in pending)]
+    seg_off: Dict[int, int] = {}
+    total, max_seg = 0, 1
+    for s in lev_order:
+        seg_off[s] = total
+        total += upks[s].shape[0]
+        max_seg = max(max_seg, upks[s].shape[0])
+    allk = jnp.concatenate([upks[s] for s in lev_order])
+    cats, metas = [], []
+    for s in lev_order:
         qs = [p for p in pending if p[0].in_stride == s]
-        if not qs:
-            continue
-        cat = jnp.concatenate([x for p in qs for x in (p[2], p[3])])
-        pos[s] = searchsorted1(upks[s], cat)
+        cat = jnp.concatenate([
+            x for p in qs
+            for x in ((p[2], p[3]) if p[7] is None
+                      else (p[2], p[3], p[7][0], p[7][1]))])
+        cats.append(cat)
+        metas.append((s, cat.shape[0]))
+    q_all = jnp.concatenate(cats)
+    lo0 = jnp.concatenate([
+        jnp.full((cnt,), seg_off[s], jnp.int32) for s, cnt in metas])
+    hi0 = jnp.concatenate([
+        jnp.full((cnt,), seg_off[s] + upks[s].shape[0], jnp.int32)
+        for s, cnt in metas])
+    pos_all = searchsorted1_bounded(allk, q_all, lo0, hi0, max_seg)
+    pos: Dict[int, jax.Array] = {}
+    o = 0
+    for s, cnt in metas:
+        pos[s] = pos_all[o:o + cnt] - seg_off[s]
+        o += cnt
 
     fused: Dict[str, FusedMap] = {}
     off: Dict[int, int] = {s: 0 for s in levels}
     c1z_cache: Dict[int, jax.Array] = {}
-    for sp, qk, lo, hi, grp_any, grp, n_tiles in pending:
+    for sp, qk, lo, hi, grp_any, grp, n_tiles, halves in pending:
         s = sp.in_stride
         m = lo.shape[0]
         o = off[s]
         pos_lo = pos[s][o:o + m]
         pos_hi = pos[s][o + m:o + 2 * m]
-        off[s] = o + 2 * m
+        split = None
+        if halves is None:
+            off[s] = o + 2 * m
+        else:
+            hq0, lq1, any0, any1 = halves
+            split = (pos[s][o + 2 * m:o + 3 * m], hq0,
+                     pos[s][o + 3 * m:o + 4 * m], any0, any1)
+            off[s] = o + 4 * m
         n_valid = jnp.sum(levels[s].mask.astype(jnp.int32))
         win = win_for_map(s, sp.out_stride)
-        starts, nch, rows = _finalize_windows(pos_lo, pos_hi, hi, grp_any,
-                                              levels[s], upks[s], n_valid,
-                                              tkeys[s].shape[1], win, grp,
-                                              n_tiles)
+        starts, nch, rows = _finalize_windows(
+            pos_lo, pos_hi, hi, grp_any, levels[s], upks[s], n_valid,
+            tkeys[s].shape[1], win, grp, n_tiles, split=split)
         c1z = None
         if (sp.in_stride == sp.out_stride == 1 and sp.dilation == 1
                 and sp.kernel_size % 2 == 1):

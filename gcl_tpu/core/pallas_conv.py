@@ -249,6 +249,18 @@ PAIR = int(os.environ.get("GCL_CONV_PAIR", "1"))
 # default: exact but a net step-time loss at bench scale.
 FOLD = os.environ.get("GCL_CONV_FOLD", "0") == "1"
 
+# Split-halves compare (the _seg_vidx split variant; TILE == 256 only).
+# OFF by default: measured at bench scale the real per-half match spans
+# overlap the 128-aligned half slices for most tiles (~17% qualify), and
+# the extra dispatch branch REGRESSES the 128-channel backward kernels
+# badly (block2_tr vjp 38 -> 66 ms). Kept for narrower geometries.
+SPLIT = os.environ.get("GCL_CONV_SPLIT", "0") == "1"
+
+
+def _split_for(win: int, pair: int, stack: int) -> bool:
+    return (SPLIT and TILE == 256 and pair == 1 and stack == 1
+            and win - 128 >= 128)
+
 
 def _pair_for(k: int, grp: int) -> int:
     kg = k // grp
@@ -303,21 +315,35 @@ def seg_widths(win: int) -> Tuple[int, ...]:
     return tuple(w for w in ws if w <= win)
 
 
-def _seg_vidx(nch: jax.Array, rows: jax.Array, win: int) -> jax.Array:
+def _seg_vidx(nch: jax.Array, rows: jax.Array, win: int,
+              allow_split: bool = False) -> jax.Array:
     """Variant index per (G, n_tiles): smallest seg_widths(win) entry
     covering chunk 0's rows; multi-chunk windows force the full width
-    (their chunk 0 covers the whole win by construction)."""
+    (their chunk 0 covers the whole win by construction).
+
+    NEGATIVE rows mark split-qualifying tiles (kernel_maps encodes the
+    per-half window containment in rows' sign). With allow_split, tiles
+    that would otherwise pay the FULL width take variant len(segs)
+    instead: each 128-row output half compares against only the
+    (win-128)-wide static slice at its half's offset — one fewer
+    128-lane column block in both the one-hot build and the gather
+    GEMM. Narrower seg variants already beat the split, so only the
+    full-width case is promoted."""
     ws = seg_widths(win)
+    r = jnp.abs(rows)
     vi = jnp.zeros_like(nch)
     for i, w in enumerate(ws[:-1]):
-        vi = jnp.where(rows > w, i + 1, vi)
-    return jnp.where(nch > 1, len(ws) - 1, vi).astype(jnp.int32)
+        vi = jnp.where(r > w, i + 1, vi)
+    vi = jnp.where(nch > 1, len(ws) - 1, vi)
+    if allow_split:
+        vi = jnp.where((rows < 0) & (vi == len(ws) - 1), len(ws), vi)
+    return vi.astype(jnp.int32)
 
 
 def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                      sems, K, G, W, dt, mm_precision, pair=1,
-                     segs=None, stack=1, cw=None):
+                     segs=None, stack=1, cw=None, split=False):
     """Double-buffered per-group window pipeline shared by the fwd and dW
     kernels.
 
@@ -379,6 +405,27 @@ def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
             for idx in range(pair):
                 body(j * pair + idx, gx[idx * TILE:(idx + 1) * TILE])
 
+    def run_group_split(g, slot):
+        # split variant (vidx == len(segs), TILE == 256 only): each
+        # 128-row output half's matches fit the (W-128)-wide window
+        # slice at offset half*128 (kernel_maps negates rows for
+        # qualifying tiles), so both the one-hot compare and the gather
+        # GEMM drop one 128-lane column block per offset. Slices load
+        # from the REFS (value-level lane-offset slices produce layouts
+        # Mosaic cannot re-broadcast).
+        ws = W - 128
+        for j in range(g * kg, (g + 1) * kg):
+            gxs = []
+            for h in range(2):
+                q = qk_ref[j, h * 128:(h + 1) * 128][:, None]
+                tkh = kwin_ref[slot, 0:1, h * 128:h * 128 + ws]
+                winh = xwin_ref[slot, h * 128:h * 128 + ws, :]
+                oh = (q == tkh).astype(dt)
+                gxs.append(jnp.dot(oh, winh,
+                                   preferred_element_type=jnp.float32,
+                                   precision=mm_precision))
+            body(j, jnp.concatenate(gxs, axis=0))
+
     @pl.when((i == 0) & (nch_ref[0, 0] > 0))
     def _():
         dma_k(0, i, 0).start()
@@ -414,6 +461,10 @@ def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                     def _(g=g, slot=slot, vw=vw):
                         run_group(g, kwin_ref[slot, 0:1, :vw],
                                   xwin_ref[slot, :vw])
+                if split:
+                    @pl.when(vi == len(segs))
+                    def _(g=g, slot=slot):
+                        run_group_split(g, slot)
 
         s0 = starts_ref[g, i]
 
@@ -436,7 +487,7 @@ def _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
 def _fwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, tk_hbm,
                 x_hbm, out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                 acc_ref, sems, *, K, G, W, mm_precision, pair=1,
-                segs=None, stack=1, cw=None):
+                segs=None, stack=1, cw=None, split=False):
     dt = xwin2_ref.dtype
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
@@ -451,13 +502,14 @@ def _fwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, tk_hbm,
     _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                      sems, K, G, W, dt, mm_precision, pair, segs, stack,
-                     cw)
+                     cw, split)
     out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
 
 
 def _dw_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, g_ref, tk_hbm,
                x_hbm, dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-               sems, *, K, G, W, mm_precision, pair=1, segs=None):
+               sems, *, K, G, W, mm_precision, pair=1, segs=None,
+               split=False):
     i = pl.program_id(0)
     dt = xwin2_ref.dtype
 
@@ -477,14 +529,15 @@ def _dw_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, g_ref, tk_hbm,
 
     _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
-                     sems, K, G, W, dt, mm_precision, pair, segs)
+                     sems, K, G, W, dt, mm_precision, pair, segs,
+                     split=split)
 
 
 def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
                 tk_hbm, g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref,
                 kwin2_ref, xwin2_ref, acc_ref, sems, *, K, G, W,
                 mm_precision, pair=1, segs=None, stack=1, cw=None,
-                spad=0):
+                spad=0, split=False):
     """dX AND dW in ONE windowed pass over the REVERSE map.
 
     Runs over tiles of the conv's IN level (the reverse map's outputs),
@@ -538,7 +591,7 @@ def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
     _windowed_gather(body, starts_ref, nch_ref, vidx_ref, qk_ref, tk_hbm,
                      g_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                      sems, K, G, W, dt, mm_precision, pair, segs, stack,
-                     cw)
+                     cw, split)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -1507,12 +1560,13 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     if _fold_factor(c0) > 1:
         return _conv_fold_fwd(feats, weights, qkey, starts, nch, tkeys,
                               win, interpret)
-    segs = seg_widths(win) if rows is not None else None
-    vidx = (_seg_vidx(nch, rows, win) if rows is not None
-            else jnp.zeros_like(nch))
     qp = _pad_qkey(qkey, n_tiles)
     pair = _pair_for(k, grp)
     stack = _stack_for(k, grp, c0, pair)
+    segs = seg_widths(win) if rows is not None else None
+    asplit = segs is not None and _split_for(win, pair, stack)
+    vidx = (_seg_vidx(nch, rows, win, asplit) if rows is not None
+            else jnp.zeros_like(nch))
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
     if stack > 1:
@@ -1542,7 +1596,8 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     kern = functools.partial(_fwd_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype),
                              pair=pair, segs=segs, stack=stack,
-                             cw=(c0 if stack > 1 else None))
+                             cw=(c0 if stack > 1 else None),
+                             split=asplit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -1595,8 +1650,10 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     n_tiles = starts.shape[1]
     t_pad = tkeys.shape[1]
     cout0 = g.shape[-1]
+    pair = _pair_for(k, grp)
     segs = seg_widths(win) if rows is not None else None
-    vidx = (_seg_vidx(nch, rows, win) if rows is not None
+    asplit = segs is not None and _split_for(win, pair, 1)
+    vidx = (_seg_vidx(nch, rows, win, asplit) if rows is not None
             else jnp.zeros_like(nch))
     qp = _pad_qkey(qkey, n_tiles)
     c = _cdiv(max(c0, 1), 128) * 128
@@ -1604,7 +1661,6 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     cout = _cdiv(max(cout0, 1), 128) * 128
     gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
                      (0, cout - cout0))).astype(feats.dtype)
-    pair = _pair_for(k, grp)
     if pair > 1:
         qp = _pack_qkey_pairs(qp, n_tiles, pair)
         q_spec = pl.BlockSpec((k // pair, pair * TILE),
@@ -1616,7 +1672,7 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
 
     kern = functools.partial(_dw_kernel, K=k, G=grp, W=win,
                              mm_precision=_mm_precision(feats.dtype),
-                             pair=pair, segs=segs)
+                             pair=pair, segs=segs, split=asplit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -1688,13 +1744,14 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     if _fold_factor(cout0) > 1 and c0 > 1:
         return _conv_fold_bwd(feats, g, weights, rqkey, rstarts, rnch,
                               rtkeys, rwin, interpret)
-    segs = seg_widths(rwin) if rrows is not None else None
-    vidx = (_seg_vidx(rnch, rrows, rwin) if rrows is not None
-            else jnp.zeros_like(rnch))
     qp = _pad_qkey(rqkey, n_tiles)
     pair = _pair_for(k, grp)
     # bwd GEMMs contract over Cout (the gathered grad's channel dim)
     stack = _stack_for(k, grp, cout0, pair)
+    segs = seg_widths(rwin) if rrows is not None else None
+    asplit = segs is not None and _split_for(rwin, pair, stack)
+    vidx = (_seg_vidx(rnch, rrows, rwin, asplit) if rrows is not None
+            else jnp.zeros_like(rnch))
     c = _cdiv(max(c0, 1), 128) * 128
     cout = _cdiv(max(cout0, 1), 128) * 128
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
@@ -1725,7 +1782,7 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
                              pair=pair, segs=segs, stack=stack,
                              cw=(cout0 if stack > 1 else None),
                              spad=(sp - stack * cout0 if stack > 1
-                                   else 0))
+                                   else 0), split=asplit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),

@@ -33,8 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256    # queries per grid step
-WIN = 2048    # target rows per DMA chunk (multiple of 128)
+import os
+
+# The kernel's cost is dominated by PER-TILE fixed overhead, not the
+# [TILE, WIN] vector work (forcing all tiles to 512-wide compares moved
+# it 46 -> 44 ms at bench scale), so fewer/bigger grid steps win.
+TILE = int(os.environ.get("GCL_RADIUS_TILE", "512"))   # queries/grid step
+WIN = int(os.environ.get("GCL_RADIUS_WIN", "4096"))    # rows/DMA chunk
 
 _SENTINEL = 0x7FFFFFFF
 _BIG = 1e30  # plain float: jnp scalars would be captured kernel consts
@@ -122,9 +127,9 @@ def _chunk_pipeline(compute, carry, starts_ref, nch_ref, ti_hbm, tf_hbm,
     return jax.lax.fori_loop(0, nc, body, carry)
 
 
-def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
-                 tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref, sems, *,
-                 P, KN):
+def _topk_kernel(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref, qx_ref,
+                 ti_hbm, tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref,
+                 best_ref, sems, *, P, KN):
     r2 = r2_ref[pl.program_id(0)]
 
     best_d = jnp.full((TILE, KN), _BIG, jnp.float32)
@@ -169,9 +174,10 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref, ti_hbm,
         best_d = jnp.where(fm, _BIG, best_d)
 
 
-def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
-                        ti_hbm, tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref,
-                        sems, *, P, KN, ROWB):
+def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref,
+                        qx_ref, ti_hbm, tf_hbm, orow_ref, od2_ref,
+                        wi_ref, wf_ref, best_ref, sems, *, P, KN, ROWB,
+                        segs=(WIN,)):
     """Packed-value variant of _topk_kernel for t_cap < 2^ROWB.
 
     Each candidate becomes one int32 `(quantized_d2 << ROWB) | row`
@@ -183,32 +189,44 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
     r^2 BEFORE quantization (31 - ROWB bits over [0, r^2]), so hit/miss
     is exact; only the ordering of candidates within r^2 / 2^(31-ROWB)
     of each other can differ from the exact kernel (>= 12 bits — the
-    caller gates on it)."""
-    r2 = r2_ref[pl.program_id(0)]
+    caller gates on it).
+
+    vidx selects the narrowest `segs` width covering the tile's window
+    rows (the caller forces the full width when nch > 1): the candidate
+    compare, distance and extraction passes all scale with the compared
+    width, and most tiles cover far fewer rows than WIN (34% fit 512,
+    55% fit 1024 at bench scale). The running best set lives in
+    best_ref scratch so the per-width bodies can dispatch under
+    pl.when."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    r2 = r2_ref[s]
     qmax = float((1 << (31 - ROWB)) - 1)
     scale = qmax / jnp.maximum(r2, 1e-12)
     inv_scale = jnp.maximum(r2, 1e-12) / qmax
     maxv = jnp.int32(0x7FFFFFFF)
+    vi = vidx_ref[s, i]
 
-    best = jnp.full((TILE, KN), maxv, jnp.int32)
+    best_ref[:, :] = jnp.full((TILE, KN), maxv, jnp.int32)
 
-    def chunk(slot, best):
-        tkey = wi_ref[slot, 0:1, :]   # [1, W]
-        trow = wi_ref[slot, 1:2, :]
+    def upd(slot, vw):
+        tkey = wi_ref[slot, 0:1, :vw]   # [1, vw]
+        trow = wi_ref[slot, 1:2, :vw]
         wf_s = wf_ref[slot]
-        cand = jnp.zeros((TILE, WIN), bool)
+        cand = jnp.zeros((TILE, vw), bool)
         for p in range(P):
             cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
-        d2 = jnp.zeros((TILE, WIN), jnp.float32)
+        d2 = jnp.zeros((TILE, vw), jnp.float32)
         for a in range(3):
-            diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
+            diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :vw]
             d2 = d2 + diff * diff
         # clamp to qmax - 1, not qmax: (qmax << ROWB) | max_row would
         # equal the maxv invalid sentinel, silently dropping a genuine
         # boundary candidate stored at the last addressable window row
         qd = jnp.minimum(d2 * scale, qmax - 1.0).astype(jnp.int32)
-        packed = (qd << ROWB) | jnp.broadcast_to(trow, (TILE, WIN))
+        packed = (qd << ROWB) | jnp.broadcast_to(trow, (TILE, vw))
         pm = jnp.where(cand & (d2 <= r2), packed, maxv)
+        best = best_ref[:, :]
         for _ in range(KN):
             m = jnp.min(pm, axis=1)  # unique -> exact one element
             pm = jnp.where(pm == m[:, None], maxv, pm)
@@ -221,11 +239,22 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, pk_ref, qx_ref,
             first = jnp.min(jnp.where(bm, iota, KN), axis=1,
                             keepdims=True)
             best = jnp.where(take & (iota == first), m[:, None], best)
-        return best
+        best_ref[:, :] = best
 
-    best = _chunk_pipeline(chunk, best, starts_ref, nch_ref, ti_hbm,
-                           tf_hbm, wi_ref, wf_ref, sems)
+    def chunk(slot, carry):
+        if len(segs) == 1:
+            upd(slot, segs[0])
+            return carry
+        for v, vw in enumerate(segs):
+            @pl.when(vi == v)
+            def _(slot=slot, vw=vw):
+                upd(slot, vw)
+        return carry
 
+    _chunk_pipeline(chunk, 0, starts_ref, nch_ref, ti_hbm,
+                    tf_hbm, wi_ref, wf_ref, sems)
+
+    best = best_ref[:, :]
     # emit ascending (packed order == distance order, row tie-break)
     for j in range(KN):
         m = jnp.min(best, axis=1)
@@ -294,10 +323,23 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     end = jax.vmap(ssorted)(tkey_s, kmax)
     t_pad = _cdiv(t_cap, WIN) * WIN + WIN
     start = jnp.clip(start & ~127, 0, t_pad - WIN)
-    nch = jnp.clip(_cdiv(jnp.minimum(end, t_cap - 1) - start + 2, WIN),
-                   1, _cdiv(t_pad, WIN))
+    rows_w = jnp.minimum(end, t_cap - 1) - start + 2
+    nch = jnp.clip(_cdiv(rows_w, WIN), 1, _cdiv(t_pad, WIN))
     nch = jnp.where(tile_any, nch, 0).astype(jnp.int32)
     start = start.astype(jnp.int32)
+    # narrowest compare width covering chunk 0 (multi-chunk tiles force
+    # the full width — their chunk 0 spans all of WIN by construction)
+    segs = tuple(sorted({max(128, _cdiv(WIN * f, 4 * 128) * 128)
+                         for f in (1, 2, 3, 4)}))
+    vidx = jnp.zeros_like(nch)
+    for v, w in enumerate(segs[:-1]):
+        vidx = jnp.where(rows_w > w, jnp.int32(v + 1), vidx)
+    vidx = jnp.where(nch > 1, jnp.int32(len(segs) - 1),
+                     vidx).astype(jnp.int32)
+    import os
+    fv = os.environ.get("GCL_RADIUS_FORCE_VI")
+    if fv is not None:  # timing experiments ONLY — wrong results
+        vidx = jnp.full_like(vidx, jnp.int32(int(fv)))
 
     pad_t = t_pad - t_cap
     ti = jnp.stack([
@@ -320,11 +362,11 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     rowb = max(1, (t_cap - 1).bit_length())
     if 31 - rowb >= 12:
         kern = functools.partial(_topk_kernel_packed, P=p_n, KN=kn,
-                                 ROWB=rowb)
+                                 ROWB=rowb, segs=segs)
     else:
         kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(s_n, n_tiles),
         in_specs=[
             pl.BlockSpec((1, TILE, p_n), lambda s, i, *_: (s, i, 0),
@@ -343,6 +385,7 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((4, 4, WIN), jnp.int32),
             pltpu.VMEM((4, 4, WIN), jnp.float32),
+            pltpu.VMEM((TILE, kn), jnp.int32),
             pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
@@ -354,5 +397,5 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
             jax.ShapeDtypeStruct((s_n, n_tiles * TILE, kn), jnp.float32),
         ),
         interpret=interpret,
-    )(start, nch, r2, probes, qx4, ti, tf)
+    )(start, nch, r2, vidx, probes, qx4, ti, tf)
     return rows[:, :q_n], d2[:, :q_n]

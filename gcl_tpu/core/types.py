@@ -104,7 +104,11 @@ class FusedMap:
         chunk 0 (row_hi - start + 1, clamped to win; 0 where nch == 0).
         Lets the conv kernels run the one-hot compare + gather GEMM at
         the narrowest sufficient 128-multiple width instead of the full
-        win (pallas_conv seg_widths). Optional: None keeps full-width.
+        win (pallas_conv seg_widths). NEGATIVE rows (-r encodes r) mark
+        tiles where each 128-row output HALF's matches fit the
+        (win - 128)-wide static window slice at offset half*128 — the
+        kernels then compare each half against only its slice
+        (pallas_conv split variant). Optional: None keeps full-width.
     """
 
     def __init__(self, qkey, starts, nch, tkeys, win: int, c1z=None,

@@ -26,8 +26,11 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    args = [int(a) for a in sys.argv[1:]]
-    TILE, W, C, K, N_TILES = (args + [256, 384, 32, 27, 512])[:5]
+    argv = sys.argv[1:]
+    nums = []
+    while argv and argv[0].isdigit():
+        nums.append(int(argv.pop(0)))
+    TILE, W, C, K, N_TILES = (nums + [256, 384, 32, 27, 512])[:5]
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(N_TILES, W, C).astype(np.float32),
@@ -72,6 +75,22 @@ def main():
                     gx = jnp.concatenate(gxs, axis=0)
                     acc += jnp.dot(gx.astype(jnp.bfloat16), w_ref[k],
                                    preferred_element_type=jnp.float32)
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
+        if mode == "pipe":
+            # software-pipelined emission: offset k+1's one-hot build is
+            # emitted BEFORE offset k's gather dot, nudging the scheduler
+            # to overlap VPU compare with MXU passes
+            def build(k):
+                q = pos_ref[0, k, :][:, None]
+                return (q == tkv).astype(jnp.bfloat16)
+            oh = build(0)
+            for k in range(K):
+                oh_next = build(k + 1) if k + 1 < K else None
+                gx = jnp.dot(oh, xw, preferred_element_type=jnp.float32)
+                acc += jnp.dot(gx.astype(jnp.bfloat16), w_ref[k],
+                               preferred_element_type=jnp.float32)
+                oh = oh_next
             out_ref[0] = acc.astype(out_ref.dtype)
             return
         oh0 = (pos_ref[0, 0, :][:, None] == tkv).astype(jnp.bfloat16)
@@ -161,7 +180,7 @@ def main():
 
     print(f"TILE={TILE} W={W} C={C} K={K} N_TILES={N_TILES}")
     pos_t = jnp.swapaxes(pos, 1, 2).copy()
-    modes = sys.argv[6:] if len(sys.argv) > 6 else (
+    modes = argv or (
         "full", "split", "qsub", "qsubsplit")
     for mode in modes:
         try:

@@ -194,6 +194,34 @@ class TestKernelMaps:
         km_s2 = np.asarray(g.kmaps[specs[2].key])
         assert np.array_equal(km_s2, oracle_s2)
 
+    def test_downsample_blocked_narrow_keys(self, rng):
+        """The blocked (n_clouds declared) downsample sorts with a
+        single packed int32 key instead of the (hi, lo) pair; the
+        resulting level must hold the same voxel set, a sorted emitted
+        key index, and per-cloud aligned bases."""
+        from gcl_tpu.core.kernel_maps import _downsample_level
+
+        all_c, mask, coords = self._random_batch(rng)
+        cap = all_c.shape[0] + 2 * 256
+        plain = jax.device_get(_downsample_level(
+            jnp.asarray(all_c), jnp.asarray(mask), 2, cap))
+        blocked = jax.device_get(_downsample_level(
+            jnp.asarray(all_c), jnp.asarray(mask), 2, cap, n_clouds=2))
+        want = {tuple(c) for c in plain.coords[plain.mask]}
+        got = {tuple(c) for c in blocked.coords[blocked.mask]}
+        assert got == want
+        # emitted key index must be ascending over the valid prefix of
+        # the sorted view and consistent with coord_keys of the coords
+        from gcl_tpu.core.coords import coord_keys
+        hi, lo = jax.device_get(coord_keys(jnp.asarray(blocked.coords), 2))
+        nv = int(blocked.mask.sum())
+        kh, kl, pm = blocked.key_hi[:nv], blocked.key_lo[:nv], \
+            blocked.perm[:nv]
+        assert np.array_equal(kh, hi[pm])
+        assert np.array_equal(kl, lo[pm])
+        order = np.lexsort((kl, kh))
+        assert np.array_equal(order, np.arange(nv))
+
     def test_pallas_join_matches_bsearch(self, rng):
         """Mosaic merge-join builder == binary-search builder (interpret
         mode; the TPU path is exercised by bench.py)."""
@@ -499,6 +527,38 @@ class TestFusedGraph:
         fm = self._check(rng, full, mask, 1, 1, 3, tol=1e-4)
         assert int(np.asarray(fm.nch).max()) > 1, \
             "geometry failed to produce a multi-chunk window"
+
+    def test_fused_split_windows(self, rng, monkeypatch):
+        """Dense enough geometry that some 256-output tiles' halves fit
+        the (win-128)-wide static window slices: kernel_maps negates
+        their FusedMap.rows and the kernels take the split compare
+        variant (pallas_conv run_group_split) — values and grads must
+        stay exact, and the geometry must actually produce such tiles
+        (otherwise this test silently stops covering the branch).
+        Opt-in (GCL_CONV_SPLIT=1): at bench scale too few tiles qualify
+        and the extra dispatch branch regresses the wide-channel
+        backward, so production defaults it off."""
+        from gcl_tpu.core import pallas_conv
+        monkeypatch.setattr(pallas_conv, "SPLIT", True)
+        raw = np.stack(np.meshgrid(np.arange(-4, 5), np.arange(-12, 13),
+                                   np.arange(-16, 17),
+                                   indexing="ij")).reshape(3, -1).T
+        keep = rng.rand(len(raw)) < 0.35
+        sel = raw[keep]
+        coords = np.concatenate(
+            [np.zeros((len(sel), 1), np.int64), sel], axis=1)
+        uniq = np.unique(coords, axis=0).astype(np.int32)
+        n = len(uniq)
+        cap = n + 128
+        full = np.full((cap, 4), -1, np.int32)
+        full[:, 0] = int(INVALID_BATCH)
+        full[:n] = uniq
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        fm = self._check(rng, full, mask, 1, 1, 3, tol=1e-4,
+                         cin=32, cout=32)
+        assert (np.asarray(fm.rows) < 0).any(), \
+            "geometry produced no split-eligible tiles"
 
     def _check(self, rng, coords, mask, in_s, out_s, k, tol=1e-5,
                cin=4, cout=6):
