@@ -144,7 +144,14 @@ def _downsample_level(coords0: jax.Array, mask0: jax.Array, stride: int,
             hi_c = _m.floor((half - 1) / stride)
             los.append(lo_c)
             bits.append(max(1, (hi_c - lo_c).bit_length()))
-        assert 5 + sum(bits) <= 31, (stride, bits)
+        if 5 + sum(bits) > 31:
+            # stride too small for the packed single-key dedup: distinct
+            # voxels would alias. (stride >= 2 fits; a stride-1 caller
+            # must use the two-key path below.)
+            raise ValueError(
+                f"packed dedup key needs {5 + sum(bits)} bits > 31 "
+                f"(stride={stride}, per-axis bits={bits}); use "
+                "n_clouds=None (two-key sort) for this stride")
         q = coords[:, 1:4] // stride
         u = q - jnp.asarray(los, jnp.int32)[None, :]
         key = coords[:, 0]

@@ -339,6 +339,11 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     import os
     fv = os.environ.get("GCL_RADIUS_FORCE_VI")
     if fv is not None:  # timing experiments ONLY — wrong results
+        import warnings
+        warnings.warn(
+            "GCL_RADIUS_FORCE_VI is set: windowed_cell_topk is forcing "
+            f"compare-width variant {fv} and WILL return wrong neighbors. "
+            "Unset it for any real run.", stacklevel=2)
         vidx = jnp.full_like(vidx, jnp.int32(int(fv)))
 
     pad_t = t_pad - t_cap

@@ -123,6 +123,29 @@ def main():
                                preferred_element_type=jnp.float32)
             out_ref[0] = acc.astype(out_ref.dtype)
             return
+        if mode in ("i16", "i16d", "i16dv"):
+            # 16-bit compare domain: if Mosaic packs int16 lanes 2:1 the
+            # compare's vreg count halves; the bf16 one-hot it selects is
+            # already the MXU operand dtype. i16d hoists a single int16
+            # subtract per tile and compares against static scalars.
+            tk16 = tkv.astype(jnp.int16)
+            d16 = None
+            if mode in ("i16d", "i16dv"):
+                d16 = pos_ref[0, 0, :][:, None].astype(jnp.int16) - tk16
+            for k in range(K):
+                if d16 is not None:
+                    oh = (d16 == jnp.int16(-k)).astype(jnp.bfloat16)
+                else:
+                    q = pos_ref[0, k, :][:, None].astype(jnp.int16)
+                    oh = (q == tk16).astype(jnp.bfloat16)
+                if mode == "i16dv":
+                    acc += oh[:, :C].astype(jnp.float32)
+                    continue
+                gx = jnp.dot(oh, xw, preferred_element_type=jnp.float32)
+                acc += jnp.dot(gx.astype(jnp.bfloat16), w_ref[k],
+                               preferred_element_type=jnp.float32)
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
         dsh = None
         if mode in ("dshare", "dsharev"):
             # ONE broadcast-subtract per tile; per-offset compare is

@@ -560,6 +560,23 @@ class TestFusedGraph:
         assert (np.asarray(fm.rows) < 0).any(), \
             "geometry produced no split-eligible tiles"
 
+    @pytest.mark.parametrize("in_s,out_s", [(1, 1), (1, 2)])
+    def test_fused_stacked_offsets(self, rng, monkeypatch, in_s, out_s):
+        """Stacked-offset accumulate GEMMs (--conv_stack / GCL_CONV_STACK
+        > 1): STACK consecutive offsets' gathers lane-concat into one
+        full-depth GEMM — fwd weight reshape [K/S, S*C, Cout], bwd spad
+        lane padding and the dw unstack+transpose+[::-1] are nontrivial
+        layout transforms that must stay exact vs the explicit map.
+        Opt-in (a measured wash at bench scale; ships default-off)."""
+        from gcl_tpu.core import pallas_conv
+        monkeypatch.setattr(pallas_conv, "STACK", 3)
+        # cin = cout = 32: both the fwd (contract over Cin) and the
+        # one-pass bwd (contract over Cout) take the stacked path
+        assert pallas_conv._stack_for(27, 3, 32, 1) == 3
+        coords, mask = self._coords(rng)
+        self._check(rng, coords, mask, in_s, out_s, 3, tol=1e-4,
+                    cin=32, cout=32)
+
     def _check(self, rng, coords, mask, in_s, out_s, k, tol=1e-5,
                cin=4, cout=6):
         from gcl_tpu.core import sparse_ops
