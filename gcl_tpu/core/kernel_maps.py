@@ -352,8 +352,18 @@ def _fold_clouds(coords: jax.Array) -> jax.Array:
 
 
 def _level_tkeys(level: LevelCoords, stride: int, t_pad: int) -> jax.Array:
-    """[8, t_pad] stacked packed keys of a level in ORIGINAL row order
-    (row 0; rows 1-7 zero) for the fused conv kernels' key windows."""
+    """[8, t_pad] stacked packed keys of a level in ORIGINAL row order,
+    with 16-row SHIFT REPLICAS: row r holds keys of rows i + 16*r.
+
+    The conv kernels' key-window DMA must start at a 128-multiple lane
+    offset, which used to force window starts to 128-aligned rows (up to
+    127 rows of alignment slack inside every window). Rows 1-7 of this
+    array were dead padding (the DMA needs 8 int32 sublanes anyway);
+    filling them with shifted copies lets a kernel realise any
+    16-granular window start s by DMAing at lane base = s & ~127 and
+    comparing against sublane row r = (s >> 4) & 7 — same DMA volume,
+    slack cut from <=127 to <=15 rows, so the half-tile windows
+    (pallas_conv) fit 1.5x narrower compare/gather widths."""
     from .coords import pack_keys
 
     pk = pack_keys(_fold_clouds(level.coords), stride)
@@ -361,7 +371,12 @@ def _level_tkeys(level: LevelCoords, stride: int, t_pad: int) -> jax.Array:
     # key nor a valid (cloud < 31) key
     pad_const = jnp.int32(np.int64(31 << 27) - (1 << 32))
     tk = jnp.full((8, t_pad), pad_const, jnp.int32)
-    return tk.at[0, :pk.shape[0]].set(pk)
+    n = pk.shape[0]
+    for r in range(8):
+        m = max(0, n - 16 * r)
+        if m:
+            tk = tk.at[r, :m].set(pk[16 * r:16 * r + m])
+    return tk
 
 
 _SIGN = jnp.int32(-2 ** 31)  # XOR flips int32 compare to unsigned order
@@ -381,46 +396,82 @@ def _row_last(pos_hi, hq, pos_lo, in_level, upk_sorted, n_valid, n):
     return in_level.perm[last]
 
 
-def _finalize_windows(pos_lo, pos_hi, hq, grp_any, in_level,
-                      upk_sorted, n_valid, t_pad: int, win: int,
-                      grp: int, n_tiles: int, split=None):
-    """Window start/chunk-count from pre-searched key positions.
+def _finalize_windows(halves, grp_any, in_level, upk_sorted, n_valid,
+                      t_pad: int, win: int, win_h: int, grp: int,
+                      n_tiles: int, want_split: bool = False):
+    """Classic AND half-tile window tables from per-half key positions.
 
-    split: None, or (pos_hi0, hq0, pos_lo1, any0, any1) — the per-half
-    positions/keys for the TILE==256 split variant; qualifying tiles
-    come back with NEGATED rows (see FusedMap.rows)."""
+    halves: ((pos_lo, pos_hi, hq, any), ...) for the tile's two 128-row
+    output halves (pos_* are lower-bound positions of the half's
+    conservative min/max query keys in the level's sorted keys; hq the
+    max bound key itself; any = half has valid outputs).
+
+    Returns (starts, nch, rows) [G, n_tiles] classic windows (derived
+    from the union of the half extents — for the c1z / folded / split
+    kernels and any consumer ignoring halves) and (hstarts, hnch, hrows)
+    [2G, n_tiles] per-half windows: 16-granular starts (row r =
+    (start >> 4) & 7 of the shift-replica tkeys holds the matching
+    compare lane layout) of static width win_h.
+
+    want_split: additionally NEGATE classic rows on tiles qualifying for
+    the legacy TILE==256 split variant (see FusedMap.rows)."""
     n = upk_sorted.shape[0]
-    has = grp_any & (pos_lo < n_valid)
-    row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
-    row_hi = _row_last(pos_hi, hq, pos_lo, in_level, upk_sorted,
-                       n_valid, n)
-    start = jnp.clip(row_lo & ~127, 0, max(t_pad - win, 0))
+    row_lo_h, row_hi_h, has_h = [], [], []
+    for pos_lo, pos_hi, hq, any_h in halves:
+        has = any_h & (pos_lo < n_valid)
+        row_lo = in_level.perm[jnp.clip(pos_lo, 0, n - 1)]
+        row_hi = _row_last(pos_hi, hq, pos_lo, in_level, upk_sorted,
+                           n_valid, n)
+        has_h.append(has)
+        row_lo_h.append(jnp.where(has, row_lo, jnp.int32(2 ** 30)))
+        row_hi_h.append(jnp.where(has, row_hi, -1))
+
+    # classic window = union of the half extents
+    has = has_h[0] | has_h[1]
+    row_lo = jnp.minimum(row_lo_h[0], row_lo_h[1])
+    row_hi = jnp.maximum(row_hi_h[0], row_hi_h[1])
+    start = jnp.clip(jnp.where(has, row_lo, 0) & ~127,
+                     0, max(t_pad - win, 0))
     span = row_hi - start + 1
     nch = jnp.where(has, -(-span // win), 0)
     nch = jnp.clip(nch, 0, t_pad // win)
     # rows covered by chunk 0 (<= win): the kernels narrow the one-hot
     # compare + gather GEMM to the smallest sufficient 128-multiple
     rows = jnp.where(has, jnp.clip(span, 1, win), 0)
-    split_ok = None
-    if split is not None and win > 128:
+    if want_split and win > 128:
         # both 128-row halves' matches fit the (win-128)-wide static
         # slice at their half's 128-lane offset of THIS chunk-0 window
-        pos_hi0, hq0, pos_lo1, any0, any1 = split
         ws = win - 128
-        row_hi0 = _row_last(pos_hi0, hq0, pos_lo, in_level, upk_sorted,
-                            n_valid, n)
-        has1 = any1 & (pos_lo1 < n_valid)
-        row_lo1 = in_level.perm[jnp.clip(pos_lo1, 0, n - 1)]
-        split_ok = (has & any0 & has1 & (nch == 1)
-                    & (row_hi0 < start + ws)
-                    & (row_lo1 >= start + 128)
-                    & (row_hi < start + 128 + ws))
+        split_ok = (has_h[0] & has_h[1] & (nch == 1)
+                    & (row_hi_h[0] < start + ws)
+                    & (row_lo_h[1] >= start + 128)
+                    & (row_hi_h[1] < start + 128 + ws))
         # encoded in rows' SIGN (FusedMap.rows docstring): no new
         # field/argument anywhere between the builder and the kernels
         rows = jnp.where(split_ok, -rows, rows)
-    return (start.reshape(grp, n_tiles).astype(jnp.int32),
-            nch.reshape(grp, n_tiles).astype(jnp.int32),
-            rows.reshape(grp, n_tiles).astype(jnp.int32))
+
+    # per-half windows: 16-granular starts against the replica rows
+    hs, hn, hr = [], [], []
+    for h in range(2):
+        s_h = jnp.clip(jnp.where(has_h[h], row_lo_h[h], 0) & ~15,
+                       0, max(t_pad - win_h, 0))
+        span_h = row_hi_h[h] - s_h + 1
+        n_h = jnp.where(has_h[h], -(-span_h // win_h), 0)
+        hs.append(s_h)
+        hn.append(jnp.clip(n_h, 0, t_pad // win_h))
+        hr.append(jnp.where(has_h[h], jnp.clip(span_h, 1, win_h), 0))
+    # [2G, n_tiles] with row 2g + h
+    hstarts = jnp.stack(hs, 1).reshape(grp, n_tiles, 2)
+    hnch = jnp.stack(hn, 1).reshape(grp, n_tiles, 2)
+    hrows = jnp.stack(hr, 1).reshape(grp, n_tiles, 2)
+    hstarts = jnp.swapaxes(hstarts, 1, 2).reshape(2 * grp, n_tiles)
+    hnch = jnp.swapaxes(hnch, 1, 2).reshape(2 * grp, n_tiles)
+    hrows = jnp.swapaxes(hrows, 1, 2).reshape(2 * grp, n_tiles)
+    return ((start.reshape(grp, n_tiles).astype(jnp.int32),
+             nch.reshape(grp, n_tiles).astype(jnp.int32),
+             rows.reshape(grp, n_tiles).astype(jnp.int32)),
+            (hstarts.astype(jnp.int32), hnch.astype(jnp.int32),
+             hrows.astype(jnp.int32)))
 
 
 def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
@@ -449,55 +500,23 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
             jnp.where(mid_pad, jnp.int32(-2 ** 31), upk))
 
     folded_out = {s: _fold_clouds(lv.coords) for s, lv in levels.items()}
-    # pass 1: query keys for the kernels + CONSERVATIVE per-(group,
-    # tile) key extrema for the windows. The extrema come from each
-    # tile's first/last VALID output coords plus the dx-group's
-    # componentwise extreme offsets (O(n_tiles) work) instead of
-    # min/max reductions over the full [K, N] query-key arrays (the
-    # former window-bound builds were ~O(K*N) — the graph phase's
-    # largest cost). Within a dx-group every offset shares dx, so
-    # pack(clamp(first + off_min)) <= every valid query key <=
-    # pack(clamp(last + off_max)) — see pack_query_keys_clamped.
-    from .coords import pack_query_keys_clamped
-    ext_cache: Dict[int, tuple] = {}
+    # pass 1: query keys for the kernels + EXACT per-(group, tile,
+    # half) key extrema for the windows — masked min/max reductions
+    # over the [K, N] query-key arrays themselves. Exact extremes are
+    # both SOUND and tight. (An earlier build derived conservative
+    # bounds from each tile's first/last coords plus the dx-group's
+    # componentwise offset extremes in O(n_tiles); that argument is
+    # provably correct only when queries divide by in_stride == 1 or
+    # stay on-lattice — for UPSAMPLE maps the floor-division by
+    # in_stride > 1 can collapse the leading key component and let a
+    # trailing one overshoot the "bound", silently dropping matches at
+    # window edges. The reductions cost a few ms of XLA time per graph
+    # and buy exactness plus ~40 rows narrower windows.)
+    from .pallas_conv import TILE
+    ht = TILE // 2
 
-    def tile_extremes(s):
-        if s in ext_cache:
-            return ext_cache[s]
-        from .pallas_conv import TILE
-        fc = folded_out[s]
-        v = levels[s].mask
-        n = fc.shape[0]
-        nt = -(-n // TILE)
-        pad = nt * TILE - n
-        if pad:
-            fill = jnp.full((pad, 4), INVALID_BATCH, jnp.int32)
-            fc = jnp.concatenate([fc, fill])
-            v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
-        v_t = v.reshape(nt, TILE)
-        iota = jnp.arange(TILE, dtype=jnp.int32)[None, :]
-        fi = jnp.min(jnp.where(v_t, iota, TILE), axis=1)
-        li = jnp.max(jnp.where(v_t, iota, -1), axis=1)
-        base = jnp.arange(nt, dtype=jnp.int32) * TILE
-        first_c = fc[base + jnp.clip(fi, 0, TILE - 1)]
-        last_c = fc[base + jnp.clip(li, 0, TILE - 1)]
-        tile_any = jnp.any(v_t, axis=1)
-        # split-variant half extremes (SPLIT gate; TILE == 256)
-        halves = None
-        from .pallas_conv import SPLIT
-        if SPLIT and TILE == 256:
-            v_h = v_t.reshape(nt, 2, 128)
-            ih = jnp.arange(128, dtype=jnp.int32)[None, None, :]
-            fi1 = jnp.min(jnp.where(v_h[:, 1], ih[:, 0], 128), axis=1)
-            li0 = jnp.max(jnp.where(v_h[:, 0], ih[:, 0], -1), axis=1)
-            last_c0 = fc[base + jnp.clip(li0, 0, 127)]
-            first_c1 = fc[base + 128 + jnp.clip(fi1, 0, 127)]
-            halves = (last_c0, first_c1, jnp.any(v_h[:, 0], axis=1),
-                      jnp.any(v_h[:, 1], axis=1))
-        ext_cache[s] = (first_c, last_c, tile_any, halves)
-        return ext_cache[s]
-
-    pending = []  # (sp, qk, lo, hi, grp_any, grp, n_tiles, halves)
+    # pending: (sp, qk, bounds[lo0, hi0, lo1, hi1], any_h, grp, n_tiles)
+    pending = []
     for sp in specs:
         offsets = kernel_offsets(sp.kernel_size) * sp.offset_scale
         qk = jax.vmap(
@@ -507,37 +526,25 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
         from .pallas_conv import num_offset_groups
         k = offsets.shape[0]
         grp = num_offset_groups(k)
-        offs_g = offsets.reshape(grp, k // grp, 3)
-        omin, omax = offs_g.min(axis=1), offs_g.max(axis=1)  # [G, 3]
-        first_c, last_c, tile_any, hext = tile_extremes(sp.out_stride)
-        n_tiles = first_c.shape[0]
-        lo = jnp.stack([
-            pack_query_keys_clamped(first_c, jnp.asarray(omin[g]),
-                                    sp.in_stride) ^ _SIGN
-            for g in range(grp)])
-        hi = jnp.stack([
-            pack_query_keys_clamped(last_c, jnp.asarray(omax[g]),
-                                    sp.in_stride) ^ _SIGN
-            for g in range(grp)])
-        grp_any = jnp.broadcast_to(tile_any[None, :], (grp, n_tiles))
-        halves = None
-        if hext is not None:
-            last_c0, first_c1, any0, any1 = hext
-            hi0 = jnp.stack([
-                pack_query_keys_clamped(last_c0, jnp.asarray(omax[g]),
-                                        sp.in_stride) ^ _SIGN
-                for g in range(grp)])
-            lo1 = jnp.stack([
-                pack_query_keys_clamped(first_c1, jnp.asarray(omin[g]),
-                                        sp.in_stride) ^ _SIGN
-                for g in range(grp)])
-            halves = (hi0.reshape(-1), lo1.reshape(-1),
-                      jnp.broadcast_to(any0[None, :],
-                                       (grp, n_tiles)).reshape(-1),
-                      jnp.broadcast_to(any1[None, :],
-                                       (grp, n_tiles)).reshape(-1))
-        pending.append((sp, qk, lo.reshape(-1), hi.reshape(-1),
-                        grp_any.reshape(-1), grp, n_tiles, halves))
+        kg = k // grp
+        n_out = qk.shape[1]
+        n_tiles = -(-n_out // TILE)
+        pad = n_tiles * TILE - n_out
+        qf = qk ^ _SIGN
+        if pad:
+            qf = jnp.pad(qf, ((0, 0), (0, pad)),
+                         constant_values=jnp.int32(0x7FFFFFFF))
+        qt = qf.reshape(grp, kg, n_tiles, 2, ht)
+        valid = qt < _UPAD  # non-pad query keys (flipped space)
+        lo = jnp.min(jnp.where(valid, qt, jnp.int32(0x7FFFFFFF)),
+                     axis=(1, 4))          # [G, nt, 2]
+        hi = jnp.max(jnp.where(valid, qt, jnp.int32(-2 ** 31)),
+                     axis=(1, 4))
+        any_h = jnp.any(valid, axis=(1, 4))
+        bounds = [lo[:, :, 0].reshape(-1), hi[:, :, 0].reshape(-1),
+                  lo[:, :, 1].reshape(-1), hi[:, :, 1].reshape(-1)]
+        anys = [any_h[:, :, 0].reshape(-1), any_h[:, :, 1].reshape(-1)]
+        pending.append((sp, qk, bounds, anys, grp, n_tiles))
 
     # pass 2: ONE bounded binary search for ALL levels at once — the
     # per-level key arrays concatenate into one search space and each
@@ -556,10 +563,7 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     cats, metas = [], []
     for s in lev_order:
         qs = [p for p in pending if p[0].in_stride == s]
-        cat = jnp.concatenate([
-            x for p in qs
-            for x in ((p[2], p[3]) if p[7] is None
-                      else (p[2], p[3], p[7][0], p[7][1]))])
+        cat = jnp.concatenate([x for p in qs for x in p[2]])
         cats.append(cat)
         metas.append((s, cat.shape[0]))
     q_all = jnp.concatenate(cats)
@@ -578,25 +582,22 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
     fused: Dict[str, FusedMap] = {}
     off: Dict[int, int] = {s: 0 for s in levels}
     c1z_cache: Dict[int, jax.Array] = {}
-    for sp, qk, lo, hi, grp_any, grp, n_tiles, halves in pending:
+    from .pallas_conv import SPLIT, TILE, win_half_for_map
+    for sp, qk, bounds, anys, grp, n_tiles in pending:
         s = sp.in_stride
-        m = lo.shape[0]
+        m = bounds[0].shape[0]
         o = off[s]
-        pos_lo = pos[s][o:o + m]
-        pos_hi = pos[s][o + m:o + 2 * m]
-        split = None
-        if halves is None:
-            off[s] = o + 2 * m
-        else:
-            hq0, lq1, any0, any1 = halves
-            split = (pos[s][o + 2 * m:o + 3 * m], hq0,
-                     pos[s][o + 3 * m:o + 4 * m], any0, any1)
-            off[s] = o + 4 * m
+        p4 = [pos[s][o + j * m:o + (j + 1) * m] for j in range(4)]
+        off[s] = o + 4 * m
         n_valid = jnp.sum(levels[s].mask.astype(jnp.int32))
         win = win_for_map(s, sp.out_stride)
-        starts, nch, rows = _finalize_windows(
-            pos_lo, pos_hi, hi, grp_any, levels[s], upks[s], n_valid,
-            tkeys[s].shape[1], win, grp, n_tiles, split=split)
+        win_h = win_half_for_map(s, sp.out_stride)
+        halves = ((p4[0], p4[1], bounds[1], anys[0]),
+                  (p4[2], p4[3], bounds[3], anys[1]))
+        (starts, nch, rows), (hstarts, hnch, hrows) = _finalize_windows(
+            halves, None, levels[s], upks[s], n_valid,
+            tkeys[s].shape[1], win, win_h, grp, n_tiles,
+            want_split=SPLIT and TILE == 256)
         c1z = None
         if (sp.in_stride == sp.out_stride == 1 and sp.dilation == 1
                 and sp.kernel_size % 2 == 1):
@@ -604,7 +605,8 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
                 c1z_cache[1] = _c1z_aux(levels[1])
             c1z = c1z_cache[1]
         fused[sp.key] = FusedMap(qk, starts, nch, tkeys[s], win, c1z,
-                                 rows=rows)
+                                 rows=rows, hstarts=hstarts, hnch=hnch,
+                                 hrows=hrows, hwin=win_h)
     return fused
 
 

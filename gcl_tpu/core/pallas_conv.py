@@ -66,7 +66,7 @@ WIN = int(os.environ.get("GCL_CONV_WIN", "384"))    # window rows (mult 128)
 
 def configure(*, tile: int = None, win: int = None, win_down: int = None,
               pair: int = None, fold: bool = None,
-              stack: int = None) -> None:
+              stack: int = None, half: bool = None) -> None:
     """Override the kernel tuning knobs from the config system.
 
     The env vars (GCL_CONV_TILE/WIN/WIN_DOWN/PAIR/FOLD) only provide the
@@ -76,7 +76,9 @@ def configure(*, tile: int = None, win: int = None, win_down: int = None,
     Must be called before any step function is traced — the window
     tables baked into kernel maps depend on these values.
     """
-    global TILE, WIN, WIN_DOWN, PAIR, FOLD, STACK
+    global TILE, WIN, WIN_DOWN, PAIR, FOLD, STACK, HALF
+    if half is not None:
+        HALF = bool(half)
     if stack is not None:
         STACK = int(stack)
     if tile is not None:
@@ -104,7 +106,8 @@ def configure_from(config) -> None:
               win_down=getattr(config, "conv_win_down", None),
               pair=getattr(config, "conv_pair", None),
               fold=getattr(config, "conv_fold", None),
-              stack=getattr(config, "conv_stack", None))
+              stack=getattr(config, "conv_stack", None),
+              half=getattr(config, "conv_half", None))
 
 # int32 key guaranteed absent from every packed target-key array:
 # 0xFFFFFFFE sits above the PAD_CLOUD target range (0xF8000000 + row,
@@ -142,6 +145,16 @@ WIN_DOWN = int(os.environ.get("GCL_CONV_WIN_DOWN", str(2 * WIN)))
 assert WIN % 128 == 0, f"GCL_CONV_WIN must be a multiple of 128: {WIN}"
 assert WIN_DOWN % 128 == 0, \
     f"GCL_CONV_WIN_DOWN must be a multiple of 128: {WIN_DOWN}"
+
+
+def win_half_for_map(in_stride: int, out_stride: int) -> int:
+    """Static window width for the HALF-TILE window tables (~win/2,
+    128-multiple): the 16-granular starts (tkeys shift replicas) cut the
+    start-alignment slack from <=127 to <=15 rows, so each 128*(TILE/256)
+    -row output half's matches fit a window about half the classic one —
+    the one-hot compare and the gather GEMM shrink with it."""
+    return max(128, _cdiv(win_for_map(in_stride, out_stride) // 2,
+                          128) * 128)
 
 
 def win_for_map(in_stride: int, out_stride: int) -> int:
@@ -204,11 +217,36 @@ def compute_windows(idx: jax.Array, n_in_pad: int, n_tiles: int,
             rows.astype(jnp.int32))
 
 
+def compute_windows_h(idx: jax.Array, n_in: int, t_pad: int,
+                      n_tiles: int, groups: int, win_h: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Per-(group, tile, HALF) 16-granular window tables from an
+    explicit gather table (the half-window twin of compute_windows).
+
+    Returns (hstarts, hnch) int32[2*groups, n_tiles], row 2g + h."""
+    k, n_out_pad = idx.shape
+    ht = TILE // 2
+    idx_t = idx.reshape(groups, k // groups, n_tiles, 2, ht)
+    valid = idx_t < n_in
+    lo = jnp.min(jnp.where(valid, idx_t, jnp.int32(2 ** 30)),
+                 axis=(1, 4))
+    hi = jnp.max(jnp.where(valid, idx_t, -1), axis=(1, 4))  # [G, nt, 2]
+    any_valid = hi >= 0
+    start = jnp.where(any_valid, lo, 0) & ~15
+    start = jnp.clip(start, 0, max(t_pad - win_h, 0))
+    nch = jnp.where(any_valid, _cdiv(hi - start + 1, win_h), 0)
+    nch = jnp.clip(nch, 0, _cdiv(t_pad, win_h))
+    hstarts = start.transpose(0, 2, 1).reshape(2 * groups, n_tiles)
+    hnch = nch.transpose(0, 2, 1).reshape(2 * groups, n_tiles)
+    return hstarts.astype(jnp.int32), hnch.astype(jnp.int32)
+
+
 def _fused_from_idx(feats_len, idx):
     """Identity-key FusedMap pieces from an explicit gather table.
 
-    Key space = input row id: tkeys[0, r] = r (pad -1), qkey = idx
-    (missing -> NEVER_KEY). Lets the key-compare kernels evaluate any
+    Key space = input row id: tkeys[r, i] = i + 16r (16-row shift
+    replicas, pad -1), qkey = idx (missing -> NEVER_KEY). Lets the
+    key-compare kernels — classic AND half-window — evaluate any
     explicit table; used by the pallas_conv_fwd/dw index-API wrappers.
     """
     n_in = feats_len
@@ -224,9 +262,16 @@ def _fused_from_idx(feats_len, idx):
     # reshape [t_pad/F, 128] keeps 128-multiple row counts, and padded
     # past max_win so their re-windowed coverage stays in bounds
     t_pad = _cdiv(n_in + max_win(), 1024) * 1024
+    win_h = max(128, _cdiv(WIN // 2, 128) * 128)
+    hstarts, hnch = compute_windows_h(idx, n_in, t_pad, n_tiles, grp,
+                                      win_h)
     tkeys = jnp.full((8, t_pad), -1, jnp.int32)
-    tkeys = tkeys.at[0, :n_in].set(jnp.arange(n_in, dtype=jnp.int32))
-    return qkey, starts, nch, rows, tkeys
+    for r in range(8):
+        m = max(0, n_in - 16 * r)
+        if m:
+            tkeys = tkeys.at[r, :m].set(
+                jnp.arange(16 * r, n_in, dtype=jnp.int32))
+    return qkey, starts, nch, rows, tkeys, hstarts, hnch, win_h
 
 
 # ----------------------------------------------------------------------
@@ -255,6 +300,23 @@ FOLD = os.environ.get("GCL_CONV_FOLD", "0") == "1"
 # the extra dispatch branch REGRESSES the 128-channel backward kernels
 # badly (block2_tr vjp 38 -> 66 ms). Kept for narrower geometries.
 SPLIT = os.environ.get("GCL_CONV_SPLIT", "0") == "1"
+
+# Half-tile windows (DEFAULT): each 128*(TILE/256)-row output half owns
+# its own ~win/2-wide window with a 16-granular start realised through
+# the tkeys shift replicas (kernel_maps._level_tkeys). Probe-verified on
+# v5e at bench shapes: -22% per offset on same-level maps (W 384 ->
+# 2 x 256 halves), -31% on downsample maps (768 -> 2 x 384) — both the
+# one-hot compare and the gather GEMM shrink with the window. Supersedes
+# SPLIT (which subsets this on ~17% of tiles); mutually exclusive with
+# the FOLD / PAIR / STACK experiments.
+HALF = os.environ.get("GCL_CONV_HALF", "1") == "1"
+
+
+def _half_for(hstarts, win_h: int, pair: int, stack: int,
+              c0: int, cout0: int) -> bool:
+    return (HALF and hstarts is not None and win_h > 0
+            and TILE % 256 == 0 and pair == 1 and stack == 1
+            and not FOLD and not SPLIT and c0 > 1 and cout0 > 1)
 
 
 def _split_for(win: int, pair: int, stack: int) -> bool:
@@ -592,6 +654,198 @@ def _bwd_kernel(starts_ref, nch_ref, vidx_ref, qk_ref, w_ref, x_ref,
                      g_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
                      sems, K, G, W, dt, mm_precision, pair, segs, stack,
                      cw, split)
+    dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
+
+
+def _windowed_gather_h(body, hstarts_ref, hnch_ref, qk_ref, tk_hbm,
+                       x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                       sems, K, G, WH, dt, mm_precision):
+    """Half-tile window pipeline shared by the fwd / dW / bwd kernels.
+
+    hstarts_ref / hnch_ref are [2G, n_tiles] (row 2g + h); starts are
+    16-GRANULAR: the key-window DMA runs at lane base = start & ~127 and
+    the compare reads shift-replica sublane row (start >> 4) & 7 of the
+    tkeys array (kernel_maps._level_tkeys), whose lane j then holds the
+    key of input row start + j — exactly aligned with the feature window
+    DMA'd at the start itself (a 16-multiple sublane offset, legal for
+    both f32 and bf16 tiles). Each half's one-hot compare and gather
+    GEMM are WH ~ win/2 wide; body(k, gx) receives the two halves'
+    gathers lane-concatenated back to the full [TILE, C] tile.
+
+    A (group, tile) whose two halves are both empty is skipped entirely.
+    A half with nch == 0 still computes against whatever its (default 0)
+    window holds: its queries are either pad keys or keys provably
+    beyond every valid target (kernel_maps has_h), so the one-hot is
+    exactly zero — no branch needed.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    kg = K // G
+    HT = TILE // 2
+
+    def dma_k(g, h, tile, slot):
+        base = pl.multiple_of(hstarts_ref[2 * g + h, tile] & ~127, 128)
+        return pltpu.make_async_copy(
+            tk_hbm.at[:, pl.ds(base, WH)], kwin_ref.at[slot, h],
+            sems.at[slot, h, 0])
+
+    def dma_x(g, h, tile, slot):
+        s = pl.multiple_of(hstarts_ref[2 * g + h, tile], 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s, WH), :], xwin_ref.at[slot, h],
+            sems.at[slot, h, 1])
+
+    def start_pair(g, tile, slot):
+        for h in range(2):
+            dma_k(g, h, tile, slot).start()
+            dma_x(g, h, tile, slot).start()
+
+    def active(g, tile):
+        return (hnch_ref[2 * g, tile] + hnch_ref[2 * g + 1, tile]) > 0
+
+    def gather_half(j, h, kr, xv):
+        q = qk_ref[j, h * HT:(h + 1) * HT][:, None]
+        oh = (q == kr).astype(dt)
+        return jnp.dot(oh, xv, preferred_element_type=jnp.float32,
+                       precision=mm_precision)
+
+    def run_group(g, slot):
+        r0 = (hstarts_ref[2 * g, i] >> 4) & 7
+        r1 = (hstarts_ref[2 * g + 1, i] >> 4) & 7
+        k0 = kwin_ref[slot, 0, pl.ds(r0, 1), :]
+        k1 = kwin_ref[slot, 1, pl.ds(r1, 1), :]
+        x0 = xwin_ref[slot, 0, :, :]
+        x1 = xwin_ref[slot, 1, :, :]
+        for j in range(g * kg, (g + 1) * kg):
+            gx = jnp.concatenate(
+                [gather_half(j, 0, k0, x0), gather_half(j, 1, k1, x1)],
+                axis=0)
+            body(j, gx)
+
+    @pl.when((i == 0) & active(0, i))
+    def _():
+        start_pair(0, i, 0)
+
+    for g in range(G):
+        slot = jax.lax.rem(i * G + g, 2)
+        if g + 1 < G:
+            @pl.when(active(g + 1, i))
+            def _(g=g, slot=slot):
+                start_pair(g + 1, i, 1 - slot)
+        else:
+            nxt = jnp.minimum(i + 1, n - 1)
+
+            @pl.when((i + 1 < n) & active(0, nxt))
+            def _(slot=slot):
+                start_pair(0, i + 1, 1 - slot)
+
+        @pl.when(active(g, i))
+        def _(g=g, slot=slot):
+            for h in range(2):
+                dma_k(g, h, i, slot).wait()
+                dma_x(g, h, i, slot).wait()
+            run_group(g, slot)
+
+        # rare extra chunks, synchronous, one half at a time; the other
+        # half contributes exact zeros through the zero pad block
+        for h in range(2):
+            s0 = hstarts_ref[2 * g + h, i]
+
+            def extra(c, carry, g=g, h=h, s0=s0):
+                base = pl.multiple_of((s0 & ~127) + c * WH, 128)
+                sx = pl.multiple_of(s0 + c * WH, 16)
+                d1 = pltpu.make_async_copy(
+                    tk_hbm.at[:, pl.ds(base, WH)], kwin2_ref,
+                    sems.at[2, 0, 0])
+                d2 = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(sx, WH), :], xwin2_ref,
+                    sems.at[2, 0, 1])
+                d1.start()
+                d2.start()
+                d1.wait()
+                d2.wait()
+                r = (s0 >> 4) & 7
+                kr = kwin2_ref[pl.ds(r, 1), :]
+                xv2 = xwin2_ref[:, :]
+                for j in range(g * kg, (g + 1) * kg):
+                    gxh = gather_half(j, h, kr, xv2)
+                    z = jnp.zeros_like(gxh)
+                    gx = (jnp.concatenate([gxh, z], axis=0) if h == 0
+                          else jnp.concatenate([z, gxh], axis=0))
+                    body(j, gx)
+                return carry
+
+            jax.lax.fori_loop(1, hnch_ref[2 * g + h, i], extra, 0)
+
+
+def _fwd_kernel_h(hstarts_ref, hnch_ref, qk_ref, w_ref, tk_hbm, x_hbm,
+                  out_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                  acc_ref, sems, *, K, G, WH, mm_precision):
+    dt = xwin2_ref.dtype
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    def body(k, gx):
+        acc_ref[:, :] += jnp.dot(gx.astype(dt), w_ref[k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=mm_precision)
+
+    _windowed_gather_h(body, hstarts_ref, hnch_ref, qk_ref, tk_hbm,
+                       x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                       sems, K, G, WH, dt, mm_precision)
+    out_ref[:, :] = acc_ref[:, :].astype(out_ref.dtype)
+
+
+def _dw_kernel_h(hstarts_ref, hnch_ref, qk_ref, g_ref, tk_hbm, x_hbm,
+                 dw_ref, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref, sems,
+                 *, K, G, WH, mm_precision):
+    i = pl.program_id(0)
+    dt = xwin2_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+
+    gt = g_ref[:, :]  # [TILE, COUT]
+
+    def body(k, gx):
+        dw_ref[k, :, :] += jnp.dot(
+            gx.astype(dt).T, gt, preferred_element_type=jnp.float32,
+            precision=mm_precision)
+
+    _windowed_gather_h(body, hstarts_ref, hnch_ref, qk_ref, tk_hbm,
+                       x_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                       sems, K, G, WH, dt, mm_precision)
+
+
+def _bwd_kernel_h(hstarts_ref, hnch_ref, qk_ref, w_ref, x_ref, tk_hbm,
+                  g_hbm, dx_ref, dw_ref, kwin_ref, xwin_ref, kwin2_ref,
+                  xwin2_ref, acc_ref, sems, *, K, G, WH, mm_precision):
+    """Half-window variant of the one-pass dX+dW backward (_bwd_kernel
+    semantics: reverse map, w_ref = swapaxes(W[::-1], 1, 2), x_ref the
+    tile's forward inputs pre-transposed [C, TILE], dw accumulated in
+    reverse offset order)."""
+    i = pl.program_id(0)
+    dt = xwin2_ref.dtype
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+
+    xt_t = x_ref[:, :]  # [C, TILE]
+
+    def body(k, gg):
+        ggd = gg.astype(dt)  # [TILE, COUT] gathered grad rows
+        acc_ref[:, :] += jnp.dot(ggd, w_ref[k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=mm_precision)
+        dw_ref[k, :, :] += jnp.dot(xt_t, ggd,
+                                   preferred_element_type=jnp.float32,
+                                   precision=mm_precision)
+
+    _windowed_gather_h(body, hstarts_ref, hnch_ref, qk_ref, tk_hbm,
+                       g_hbm, kwin_ref, xwin_ref, kwin2_ref, xwin2_ref,
+                       sems, K, G, WH, dt, mm_precision)
     dx_ref[:, :] = acc_ref[:, :].astype(dx_ref.dtype)
 
 
@@ -1536,15 +1790,192 @@ def _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win, interpret):
     )(starts, nch, qp, gp, tkeys, xt)
 
 
+def _conv_half_fwd(feats, weights, qkey, hstarts, hnch, tkeys, win_h,
+                   interpret):
+    """Forward through the half-tile window kernel (_fwd_kernel_h)."""
+    n_in, c0 = feats.shape
+    k, n_out = qkey.shape
+    grp = hstarts.shape[0] // 2
+    n_tiles = hstarts.shape[1]
+    t_pad = tkeys.shape[1]
+    cout0 = weights.shape[-1]
+    qp = _pad_qkey(qkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    wd = jnp.pad(weights.astype(feats.dtype),
+                 ((0, 0), (0, c - c0), (0, cout - cout0)))
+    xp = _pad_feats(feats, t_pad, c)
+
+    kern = functools.partial(_fwd_kernel_h, K=k, G=grp, WH=win_h,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, win_h), jnp.int32),
+            pltpu.VMEM((2, 2, win_h, c), feats.dtype),
+            pltpu.VMEM((8, win_h), jnp.int32),
+            pltpu.VMEM((win_h, c), feats.dtype),
+            pltpu.VMEM((TILE, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, cout),
+                                       feats.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n_tiles * TILE * (win_h * c + c * cout),
+            bytes_accessed=(2 * n_tiles * grp * win_h * c
+                            * feats.dtype.itemsize
+                            + n_tiles * TILE * cout * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hstarts, hnch, qp, wd, tkeys, xp)
+    return out[:n_out, :cout0]
+
+
+def _conv_half_dw(feats, g, qkey, hstarts, hnch, tkeys, win_h,
+                  interpret):
+    """dW through the half-tile window kernel (_dw_kernel_h)."""
+    n_in, c0 = feats.shape
+    k, n_out = qkey.shape
+    grp = hstarts.shape[0] // 2
+    n_tiles = hstarts.shape[1]
+    t_pad = tkeys.shape[1]
+    cout0 = g.shape[-1]
+    qp = _pad_qkey(qkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    xp = _pad_feats(feats, t_pad, c)
+    gp = jnp.pad(g, ((0, n_tiles * TILE - n_out),
+                     (0, cout - cout0))).astype(feats.dtype)
+
+    kern = functools.partial(_dw_kernel_h, K=k, G=grp, WH=win_h,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, cout), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, win_h), jnp.int32),
+            pltpu.VMEM((2, 2, win_h, c), feats.dtype),
+            pltpu.VMEM((8, win_h), jnp.int32),
+            pltpu.VMEM((win_h, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((3, 2, 2)),
+        ],
+    )
+    dw = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
+        interpret=interpret,
+    )(hstarts, hnch, qp, gp, tkeys, xp)
+    return dw[:, :c0, :cout0]
+
+
+def _conv_half_bwd(feats, g, weights, rqkey, rhstarts, rhnch, rtkeys,
+                   rwin_h, interpret):
+    """(dX, dW) one-pass backward through the half-tile window kernel."""
+    n_in, c0 = feats.shape
+    cout0 = g.shape[1]
+    k = rqkey.shape[0]
+    grp = rhstarts.shape[0] // 2
+    n_tiles = rhstarts.shape[1]
+    t_pad = rtkeys.shape[1]
+    qp = _pad_qkey(rqkey, n_tiles)
+    c = _cdiv(max(c0, 1), 128) * 128
+    cout = _cdiv(max(cout0, 1), 128) * 128
+    w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
+    wd = jnp.pad(w_rev_t, ((0, 0), (0, cout - cout0), (0, c - c0)))
+    gp = _pad_feats(g.astype(feats.dtype), t_pad, cout)
+    xp = jnp.zeros((c, n_tiles * TILE), feats.dtype).at[
+        :c0, :n_in].set(feats.T)
+
+    kern = functools.partial(_bwd_kernel_h, K=k, G=grp, WH=rwin_h,
+                             mm_precision=_mm_precision(feats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, cout, c), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, c), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, cout), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, rwin_h), jnp.int32),
+            pltpu.VMEM((2, 2, rwin_h, cout), feats.dtype),
+            pltpu.VMEM((8, rwin_h), jnp.int32),
+            pltpu.VMEM((rwin_h, cout), feats.dtype),
+            pltpu.VMEM((TILE, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, 2, 2)),
+        ],
+    )
+    dx, dw = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, c), feats.dtype),
+            jax.ShapeDtypeStruct((k, c, cout), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n_tiles * TILE * (rwin_h * cout + cout * c
+                                            + c * cout),
+            bytes_accessed=(2 * n_tiles * grp * rwin_h * cout
+                            * feats.dtype.itemsize
+                            + n_tiles * TILE * c * 6),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rhstarts, rhnch, qp, wd, xp, rtkeys, gp)
+    return dx[:n_in, :c0], dw[::-1, :c0, :cout0]
+
+
 def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
                    starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
                    win: int = WIN, interpret: bool = False,
-                   rows: jax.Array = None) -> jax.Array:
+                   rows: jax.Array = None, hstarts: jax.Array = None,
+                   hnch: jax.Array = None, hwin: int = 0) -> jax.Array:
     """out[i] = sum_k x[row with key == qkey[k, i]] @ W[k] (0 if absent).
 
     rows (optional int32[G, n_tiles], chunk-0 covered rows) narrows the
     per-window one-hot compare + gather GEMM to the smallest sufficient
-    seg_widths(win) variant; None keeps the full width everywhere."""
+    seg_widths(win) variant; None keeps the full width everywhere.
+    hstarts/hnch/hwin (optional [2G, n_tiles] half-tile window tables,
+    FusedMap.hstarts) route through the ~2x-narrower half-window
+    kernels instead — the production default."""
     n_in, c0 = feats.shape
     k, n_out = qkey.shape
     grp = starts.shape[0]
@@ -1563,6 +1994,9 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
     qp = _pad_qkey(qkey, n_tiles)
     pair = _pair_for(k, grp)
     stack = _stack_for(k, grp, c0, pair)
+    if _half_for(hstarts, hwin, pair, stack, c0, cout0):
+        return _conv_half_fwd(feats, weights, qkey, hstarts, hnch,
+                              tkeys, hwin, interpret)
     segs = seg_widths(win) if rows is not None else None
     asplit = segs is not None and _split_for(win, pair, stack)
     vidx = (_seg_vidx(nch, rows, win, asplit) if rows is not None
@@ -1639,7 +2073,8 @@ def fused_conv_fwd(feats: jax.Array, weights: jax.Array, qkey: jax.Array,
 def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
                   starts: jax.Array, nch: jax.Array, tkeys: jax.Array,
                   win: int = WIN, interpret: bool = False,
-                  rows: jax.Array = None) -> jax.Array:
+                  rows: jax.Array = None, hstarts: jax.Array = None,
+                  hnch: jax.Array = None, hwin: int = 0) -> jax.Array:
     """dW[k] = sum_i x[match(k, i)]^T g[i]  (same shared windows)."""
     if feats.shape[1] == 1:
         return _conv_c1_dw(feats, g, qkey, starts, nch, tkeys, win,
@@ -1651,6 +2086,9 @@ def fused_conv_dw(feats: jax.Array, g: jax.Array, qkey: jax.Array,
     t_pad = tkeys.shape[1]
     cout0 = g.shape[-1]
     pair = _pair_for(k, grp)
+    if _half_for(hstarts, hwin, pair, 1, c0, cout0):
+        return _conv_half_dw(feats, g, qkey, hstarts, hnch, tkeys,
+                             hwin, interpret)
     segs = seg_widths(win) if rows is not None else None
     asplit = segs is not None and _split_for(win, pair, 1)
     vidx = (_seg_vidx(nch, rows, win, asplit) if rows is not None
@@ -1725,8 +2163,9 @@ def bwd_fused_vmem_ok(k: int, c0: int, cout0: int, rwin: int) -> bool:
 def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
                    rqkey: jax.Array, rstarts: jax.Array, rnch: jax.Array,
                    rtkeys: jax.Array, rwin: int = WIN,
-                   interpret: bool = False, rrows: jax.Array = None
-                   ) -> Tuple[jax.Array, jax.Array]:
+                   interpret: bool = False, rrows: jax.Array = None,
+                   rhstarts: jax.Array = None, rhnch: jax.Array = None,
+                   rhwin: int = 0) -> Tuple[jax.Array, jax.Array]:
     """(dX, dW) of a fused conv in one windowed pass over the reverse map.
 
     feats: [N_in, Cin] forward inputs; g: [N_out, Cout] upstream grad;
@@ -1748,6 +2187,9 @@ def fused_conv_bwd(feats: jax.Array, g: jax.Array, weights: jax.Array,
     pair = _pair_for(k, grp)
     # bwd GEMMs contract over Cout (the gathered grad's channel dim)
     stack = _stack_for(k, grp, cout0, pair)
+    if _half_for(rhstarts, rhwin, pair, stack, c0, cout0):
+        return _conv_half_bwd(feats, g, weights, rqkey, rhstarts, rhnch,
+                              rtkeys, rhwin, interpret)
     segs = seg_widths(rwin) if rrows is not None else None
     asplit = segs is not None and _split_for(rwin, pair, stack)
     vidx = (_seg_vidx(rnch, rrows, rwin, asplit) if rrows is not None
@@ -1843,17 +2285,21 @@ def pallas_conv_fwd(feats: jax.Array, weights: jax.Array,
     """Index-table API: out[i] = sum_k x[idx[k, i]] @ W[k]; idx routed
     (missing == n_in). Adapts to the key-compare kernels via identity
     keys; the production path passes coordinate keys (fused_conv_fwd)."""
-    qkey, starts, nch, rows, tkeys = _fused_from_idx(feats.shape[0], idx)
+    (qkey, starts, nch, rows, tkeys, hstarts, hnch,
+     hwin) = _fused_from_idx(feats.shape[0], idx)
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
-                          win=WIN, interpret=interpret, rows=rows)
+                          win=WIN, interpret=interpret, rows=rows,
+                          hstarts=hstarts, hnch=hnch, hwin=hwin)
 
 
 def pallas_conv_dw(feats: jax.Array, g: jax.Array, idx: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Index-table API for dW (see pallas_conv_fwd)."""
-    qkey, starts, nch, rows, tkeys = _fused_from_idx(feats.shape[0], idx)
+    (qkey, starts, nch, rows, tkeys, hstarts, hnch,
+     hwin) = _fused_from_idx(feats.shape[0], idx)
     return fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
-                         win=WIN, interpret=interpret, rows=rows)
+                         win=WIN, interpret=interpret, rows=rows,
+                         hstarts=hstarts, hnch=hnch, hwin=hwin)
 
 
 def pallas_available() -> bool:

@@ -175,32 +175,37 @@ _sparse_conv_rev_core.defvjp(_sparse_conv_rev_fwd, _sparse_conv_rev_bwd)
 FORCE_INTERPRET = False
 
 
-def _fused_forward(feats, weights, qkey, starts, nch, rows, tkeys, win):
+def _fused_forward(feats, weights, qkey, starts, nch, rows, tkeys, win,
+                   hstarts=None, hnch=None, hwin=0):
     from .pallas_conv import fused_conv_fwd, pallas_available
     return fused_conv_fwd(feats, weights, qkey, starts, nch, tkeys,
                           win=win,
                           interpret=not pallas_available()
-                          and FORCE_INTERPRET, rows=rows)
+                          and FORCE_INTERPRET, rows=rows,
+                          hstarts=hstarts, hnch=hnch, hwin=hwin)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _sparse_conv_fused_core(win, rwin, feats, weights, qkey, starts, nch,
-                            rows, tkeys, rqkey, rstarts, rnch, rrows,
-                            rtkeys):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _sparse_conv_fused_core(win, rwin, hwin, rhwin, feats, weights, qkey,
+                            starts, nch, rows, tkeys, rqkey, rstarts,
+                            rnch, rrows, rtkeys, hstarts, hnch, rhstarts,
+                            rhnch):
     return _fused_forward(feats, weights, qkey, starts, nch, rows,
-                          tkeys, win)
+                          tkeys, win, hstarts, hnch, hwin)
 
 
-def _sparse_conv_fused_fwd(win, rwin, feats, weights, qkey, starts, nch,
-                           rows, tkeys, rqkey, rstarts, rnch, rrows,
-                           rtkeys):
+def _sparse_conv_fused_fwd(win, rwin, hwin, rhwin, feats, weights, qkey,
+                           starts, nch, rows, tkeys, rqkey, rstarts,
+                           rnch, rrows, rtkeys, hstarts, hnch, rhstarts,
+                           rhnch):
     out = _fused_forward(feats, weights, qkey, starts, nch, rows, tkeys,
-                         win)
+                         win, hstarts, hnch, hwin)
     return out, (feats, weights, qkey, starts, nch, rows, tkeys, rqkey,
-                 rstarts, rnch, rrows, rtkeys)
+                 rstarts, rnch, rrows, rtkeys, hstarts, hnch, rhstarts,
+                 rhnch)
 
 
-def _sparse_conv_fused_bwd(win, rwin, res, g):
+def _sparse_conv_fused_bwd(win, rwin, hwin, rhwin, res, g):
     """Scatter-free backward: dX is itself a fused convolution through the
     reverse-direction queries with flipped transposed weights (offset
     duality — see _sparse_conv_rev_bwd).
@@ -213,7 +218,7 @@ def _sparse_conv_fused_bwd(win, rwin, res, g):
     whose f32 dW accumulator would blow VMEM fall back to two passes.
     """
     (feats, weights, qkey, starts, nch, rows, tkeys, rqkey, rstarts,
-     rnch, rrows, rtkeys) = res
+     rnch, rrows, rtkeys, hstarts, hnch, rhstarts, rhnch) = res
     from .pallas_conv import (bwd_fused_vmem_ok, fused_conv_bwd,
                               fused_conv_dw, fused_conv_fwd,
                               pallas_available)
@@ -226,21 +231,22 @@ def _sparse_conv_fused_bwd(win, rwin, res, g):
     # (GCL_FUSED_BWD=0 restores the two-pass backward for A/B runs)
     one_pass_on = (interp
                    or os.environ.get("GCL_FUSED_BWD", "1") != "0")
+    zeros = (None,) * 14
     if (one_pass_on and c0 > 1 and cout0 > 1
             and bwd_fused_vmem_ok(k, c0, cout0, rwin)):
         dx, dw = fused_conv_bwd(feats, g, weights, rqkey, rstarts, rnch,
                                 rtkeys, rwin=rwin, interpret=interp,
-                                rrows=rrows)
-        return (dx.astype(feats.dtype), dw.astype(weights.dtype),
-                None, None, None, None, None, None, None, None, None,
-                None)
+                                rrows=rrows, rhstarts=rhstarts,
+                                rhnch=rhnch, rhwin=rhwin)
+        return (dx.astype(feats.dtype), dw.astype(weights.dtype)) + zeros
     w_rev_t = jnp.swapaxes(weights[::-1], 1, 2).astype(feats.dtype)
     dx = fused_conv_fwd(g, w_rev_t, rqkey, rstarts, rnch, rtkeys,
-                        win=rwin, interpret=interp, rows=rrows)
+                        win=rwin, interpret=interp, rows=rrows,
+                        hstarts=rhstarts, hnch=rhnch, hwin=rhwin)
     dw = fused_conv_dw(feats, g, qkey, starts, nch, tkeys,
-                       win=win, interpret=interp, rows=rows)
-    return (dx.astype(feats.dtype), dw.astype(weights.dtype),
-            None, None, None, None, None, None, None, None, None, None)
+                       win=win, interpret=interp, rows=rows,
+                       hstarts=hstarts, hnch=hnch, hwin=hwin)
+    return (dx.astype(feats.dtype), dw.astype(weights.dtype)) + zeros
 
 
 _sparse_conv_fused_core.defvjp(_sparse_conv_fused_fwd,
@@ -438,11 +444,12 @@ def sparse_conv_fused(feats: jax.Array, weights: jax.Array, fm,
     forward kernel through it with flipped transposed weights. The
     static window widths travel with the maps (FusedMap.win).
     """
-    return _sparse_conv_fused_core(fm.win, rfm.win, feats,
-                                   weights, fm.qkey, fm.starts,
-                                   fm.nch, fm.rows, fm.tkeys, rfm.qkey,
-                                   rfm.starts, rfm.nch, rfm.rows,
-                                   rfm.tkeys)
+    return _sparse_conv_fused_core(
+        fm.win, rfm.win, getattr(fm, "hwin", 0), getattr(rfm, "hwin", 0),
+        feats, weights, fm.qkey, fm.starts, fm.nch, fm.rows, fm.tkeys,
+        rfm.qkey, rfm.starts, rfm.nch, rfm.rows, rfm.tkeys,
+        getattr(fm, "hstarts", None), getattr(fm, "hnch", None),
+        getattr(rfm, "hstarts", None), getattr(rfm, "hnch", None))
 
 
 def sparse_conv(feats: jax.Array, weights: jax.Array, kmap: jax.Array,

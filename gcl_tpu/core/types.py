@@ -109,10 +109,21 @@ class FusedMap:
         (win - 128)-wide static window slice at offset half*128 — the
         kernels then compare each half against only its slice
         (pallas_conv split variant). Optional: None keeps full-width.
+      hstarts/hnch/hrows: None, or int32[2G, n_tiles] HALF-TILE window
+        tables (row 2g + h = dx-group g, 128*(TILE//256)-row output half
+        h): starts are 16-GRANULAR — the kernels DMA at start & ~127 and
+        compare against shift-replica row (start >> 4) & 7 of tkeys —
+        with static width `hwin` (~win/2). The generic kernels prefer
+        these (1.5-2x narrower one-hot compares + gather GEMMs); the
+        c1z / folded / legacy-split paths use the classic tables.
+      hwin: static half-window width the hstarts/hnch were computed with
+        (0 when absent).
+
     """
 
     def __init__(self, qkey, starts, nch, tkeys, win: int, c1z=None,
-                 rows=None):
+                 rows=None, hstarts=None, hnch=None, hrows=None,
+                 hwin: int = 0):
         self.qkey = qkey
         self.starts = starts
         self.nch = nch
@@ -120,14 +131,21 @@ class FusedMap:
         self.win = win
         self.c1z = c1z
         self.rows = rows
+        self.hstarts = hstarts
+        self.hnch = hnch
+        self.hrows = hrows
+        self.hwin = hwin
 
     def tree_flatten(self):
         return (self.qkey, self.starts, self.nch, self.tkeys,
-                self.c1z, self.rows), self.win
+                self.c1z, self.rows, self.hstarts, self.hnch,
+                self.hrows), (self.win, self.hwin)
 
     @classmethod
-    def tree_unflatten(cls, win, children):
-        return cls(*children[:4], win, children[4], children[5])
+    def tree_unflatten(cls, aux, children):
+        win, hwin = aux
+        return cls(*children[:4], win, children[4], children[5],
+                   children[6], children[7], children[8], hwin)
 
 
 class SparseGraph(NamedTuple):

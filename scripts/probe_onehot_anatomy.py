@@ -123,6 +123,26 @@ def main():
                                preferred_element_type=jnp.float32)
             out_ref[0] = acc.astype(out_ref.dtype)
             return
+        if mode == "half":
+            # per-half-tile windows (the fine-alignment design): each
+            # 128-row half compares + gathers against its OWN window of
+            # WH = max(256, W // 2) rows — cost model of the 16-granular
+            # half-window kernels (timing only; slices reuse the W-wide
+            # buffer so data content is arbitrary but shapes are real)
+            wh = max(256, W // 2)
+            h = TILE // 2
+            for k in range(K):
+                gxs = []
+                for hh in range(2):
+                    q = pos_ref[0, k, hh * h:(hh + 1) * h][:, None]
+                    oh = (q == tkv[:, :wh]).astype(jnp.bfloat16)
+                    gxs.append(jnp.dot(oh, xw[:wh],
+                                       preferred_element_type=jnp.float32))
+                gx = jnp.concatenate(gxs, axis=0)
+                acc += jnp.dot(gx.astype(jnp.bfloat16), w_ref[k],
+                               preferred_element_type=jnp.float32)
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
         if mode in ("i16", "i16d", "i16dv"):
             # 16-bit compare domain: if Mosaic packs int16 lanes 2:1 the
             # compare's vreg count halves; the bf16 one-hot it selects is

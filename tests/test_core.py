@@ -560,6 +560,65 @@ class TestFusedGraph:
         assert (np.asarray(fm.rows) < 0).any(), \
             "geometry produced no split-eligible tiles"
 
+    def test_upmap_window_soundness(self, rng):
+        """Regression: upsample-map windows must cover every match at a
+        scale where tile windows don't span the whole level.
+
+        The old conservative coord-clamped window bounds were unsound
+        for in_stride > 1 queries (floor-division collapses the leading
+        packed-key component and lets a trailing one overshoot the
+        bound), silently dropping matches at window edges — invisible
+        at the tiny caps above, real at a few thousand voxels. Windows
+        now come from exact min/max reductions over the query keys."""
+        from gcl_tpu.core import sparse_ops
+        from gcl_tpu.core.types import map_key as mk
+
+        pts = rng.randint(-30, 30, size=(4000, 2))
+        z = rng.randint(-16, 16, size=(4000, 1))
+        xyz = np.unique(np.concatenate([pts, z], axis=1), axis=0)
+        xyz = xyz[np.lexsort((xyz[:, 2], xyz[:, 1], xyz[:, 0]))]
+        n = len(xyz)
+        cap = -(-n // 256) * 256 + 256
+        coords = np.full((cap, 4), -1, np.int32)
+        coords[:, 0] = int(INVALID_BATCH)
+        coords[:n, 0] = 0
+        coords[:n, 1:] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+
+        spec = ConvSpec("d", 1, 2, 3)
+        caps = {1: cap, 2: cap}
+        g_f = build_graph(jnp.asarray(coords), jnp.asarray(mask),
+                          [spec], caps, method="fused",
+                          sorted_blocks=True, n_clouds=1)
+        rk = mk(2, 1, 3, 1)
+        rfm = g_f.fused[rk]  # UP map: level-1 queries into level 2
+        n2 = g_f.levels[2].coords.shape[0]
+        cin = 8
+        feats2 = (rng.randn(n2, cin).astype(np.float32)
+                  * np.asarray(g_f.levels[2].mask)[:, None])
+        w = rng.randn(27, cin, cin).astype(np.float32) * 0.05
+
+        from gcl_tpu.core.kernel_maps import _build_kmap, kernel_offsets
+        km = np.asarray(_build_kmap(g_f.levels[1], g_f.levels[2], 2,
+                                    kernel_offsets(3)))
+        xp = np.concatenate([feats2, np.zeros((1, cin), np.float32)])
+        idx0 = np.where(km < 0, n2, km)
+        ref = sum(xp[idx0[kk]] @ w[kk] for kk in range(27))
+
+        from gcl_tpu.core.pallas_conv import fused_conv_fwd
+        sparse_ops.FORCE_INTERPRET = True
+        try:
+            out = fused_conv_fwd(
+                jnp.asarray(feats2), jnp.asarray(w), rfm.qkey,
+                rfm.starts, rfm.nch, rfm.tkeys, win=rfm.win,
+                rows=rfm.rows, hstarts=rfm.hstarts, hnch=rfm.hnch,
+                hwin=rfm.hwin, interpret=True)
+        finally:
+            sparse_ops.FORCE_INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   rtol=2e-2, atol=2e-2)
+
     @pytest.mark.parametrize("in_s,out_s", [(1, 1), (1, 2)])
     def test_fused_stacked_offsets(self, rng, monkeypatch, in_s, out_s):
         """Stacked-offset accumulate GEMMs (--conv_stack / GCL_CONV_STACK
