@@ -534,13 +534,17 @@ def _build_fused_maps(levels: Dict[int, LevelCoords], specs):
         if pad:
             qf = jnp.pad(qf, ((0, 0), (0, pad)),
                          constant_values=jnp.int32(0x7FFFFFFF))
-        qt = qf.reshape(grp, kg, n_tiles, 2, ht)
-        valid = qt < _UPAD  # non-pad query keys (flipped space)
-        lo = jnp.min(jnp.where(valid, qt, jnp.int32(0x7FFFFFFF)),
-                     axis=(1, 4))          # [G, nt, 2]
-        hi = jnp.max(jnp.where(valid, qt, jnp.int32(-2 ** 31)),
-                     axis=(1, 4))
-        any_h = jnp.any(valid, axis=(1, 4))
+        # two-stage reductions keep the big pass contiguous: min needs
+        # no validity mask at all (pad keys sit at/above _UPAD in the
+        # flipped space, above every valid key); max masks pads in one
+        # elementwise pass; any-valid falls out of the min for free
+        qg = qf.reshape(grp, kg, n_tiles * TILE)
+        lo_n = jnp.min(qg, axis=1)                      # [G, nt*TILE]
+        hi_n = jnp.max(jnp.where(qg < _UPAD, qg, jnp.int32(-2 ** 31)),
+                       axis=1)
+        lo = jnp.min(lo_n.reshape(grp, n_tiles, 2, ht), axis=3)
+        hi = jnp.max(hi_n.reshape(grp, n_tiles, 2, ht), axis=3)
+        any_h = lo < _UPAD
         bounds = [lo[:, :, 0].reshape(-1), hi[:, :, 0].reshape(-1),
                   lo[:, :, 1].reshape(-1), hi[:, :, 1].reshape(-1)]
         anys = [any_h[:, :, 0].reshape(-1), any_h[:, :, 1].reshape(-1)]

@@ -35,11 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# The kernel's cost is dominated by PER-TILE fixed overhead, not the
-# [TILE, WIN] vector work (forcing all tiles to 512-wide compares moved
-# it 46 -> 44 ms at bench scale), so fewer/bigger grid steps win.
-TILE = int(os.environ.get("GCL_RADIUS_TILE", "512"))   # queries/grid step
-WIN = int(os.environ.get("GCL_RADIUS_WIN", "4096"))    # rows/DMA chunk
+# Queries are sorted by home cell, so a tile's window width scales with
+# TILE (span of the tile's probed cells): the compare / distance /
+# extraction vector work is ~TILE * width per tile and total work drops
+# with smaller tiles until per-tile overhead bites. Bench-scale sweep
+# (scripts/probe_radius.py, 28 x 18432 queries, k=5): 512/4096 160 ms,
+# 256/2048 114 ms, 128/2048 105 ms, 128/1024 123 ms (chunk churn).
+TILE = int(os.environ.get("GCL_RADIUS_TILE", "128"))   # queries/grid step
+WIN = int(os.environ.get("GCL_RADIUS_WIN", "2048"))    # rows/DMA chunk
 
 _SENTINEL = 0x7FFFFFFF
 _BIG = 1e30  # plain float: jnp scalars would be captured kernel consts
