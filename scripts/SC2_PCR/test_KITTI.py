@@ -34,8 +34,18 @@ def main():
                             "config_json/config_KITTI.json"))
     parser.add_argument("--data_root", type=str, required=True)
     parser.add_argument("--descriptor", type=str, default="fcgf")
+    # benchmark_utils parity (reference
+    # scripts/SC2_PCR/benchmark_utils.py:27-57): set_seed(51) fixed all
+    # RNGs before a run; icp_refine() optionally polished the estimate
+    # with a 0.10 m point-to-point ICP before scoring.
+    parser.add_argument("--seed", type=int, default=51,
+                        help="deterministic run seed (ref set_seed)")
+    parser.add_argument("--use_icp", action="store_true",
+                        help="refine each estimate with 0.10 m "
+                        "point-to-point ICP (ref icp_refine)")
     args = parser.parse_args()
     cfg = json.load(open(args.config_path))
+    np.random.seed(args.seed)
 
     if cfg.get("dataset", "KITTI") in ("3DMatch", "3DLoMatch"):
         # the 3DMatch/3DLoMatch shims reroute here with their configs
@@ -59,7 +69,7 @@ def main():
                                     te_thre=cfg["te_thre"])
     class_loss = ClassificationLoss()
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     recalls, res, tes, f1s = [], [], [], []
     for i in range(len(loader)):
         xyz0, xyz1, f0, f1, gt = loader[i]
@@ -68,6 +78,13 @@ def main():
             jnp.asarray(xyz0)[None], jnp.asarray(xyz1)[None],
             jnp.asarray(f0)[None], jnp.asarray(f1)[None], sub)
         pred = np.asarray(pred)
+        if args.use_icp:
+            from gcl_tpu.reg import registration_icp
+            refined = registration_icp(
+                np.asarray(src_c, np.float64)[0],
+                np.asarray(tgt_c, np.float64)[0], 0.10,
+                init=np.asarray(pred[0], np.float64))
+            pred = refined[None].astype(np.float32)
         recall, re, te = trans_loss(pred, gt[None], src_c, tgt_c, labels)
         # gt inlier labels from the GT transform
         warp = np.asarray(transform(src_c, jnp.asarray(gt)[None]))[0]

@@ -143,6 +143,28 @@ def main():
                                preferred_element_type=jnp.float32)
             out_ref[0] = acc.astype(out_ref.dtype)
             return
+        if mode == "dhalf":
+            # half windows + hoisted broadcast-subtract: per half, ONE
+            # [128, WH] subtract per tile-group, then per-offset scalar
+            # equality (the production D-trick candidate for same-level
+            # maps under GCL_CONV_HALF)
+            wh = max(256, W // 2)
+            h = TILE // 2
+            dh = []
+            for hh in range(2):
+                q = pos_ref[0, 0, hh * h:(hh + 1) * h][:, None]
+                dh.append(q - tkv[:, :wh])
+            for k in range(K):
+                gxs = []
+                for hh in range(2):
+                    oh = (dh[hh] == jnp.int32(-k)).astype(jnp.bfloat16)
+                    gxs.append(jnp.dot(oh, xw[:wh],
+                                       preferred_element_type=jnp.float32))
+                gx = jnp.concatenate(gxs, axis=0)
+                acc += jnp.dot(gx.astype(jnp.bfloat16), w_ref[k],
+                               preferred_element_type=jnp.float32)
+            out_ref[0] = acc.astype(out_ref.dtype)
+            return
         if mode in ("i16", "i16d", "i16dv"):
             # 16-bit compare domain: if Mosaic packs int16 lanes 2:1 the
             # compare's vreg count halves; the bf16 one-hot it selects is
