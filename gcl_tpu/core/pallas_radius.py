@@ -45,6 +45,9 @@ TILE = int(os.environ.get("GCL_RADIUS_TILE", "128"))   # queries/grid step
 WIN = int(os.environ.get("GCL_RADIUS_WIN", "2048"))    # rows/DMA chunk
 
 _SENTINEL = 0x7FFFFFFF
+# the three per-axis "+1 cell" bits of the packed cell key
+# (device_pipeline._cell_key: x<<20 | y<<10 | z)
+_BLOCK3 = (1 << 20) | (1 << 10) | 1
 _BIG = 1e30  # plain float: jnp scalars would be captured kernel consts
 
 
@@ -132,7 +135,7 @@ def _chunk_pipeline(compute, carry, starts_ref, nch_ref, ti_hbm, tf_hbm,
 
 def _topk_kernel(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref, qx_ref,
                  ti_hbm, tf_hbm, orow_ref, od2_ref, wi_ref, wf_ref,
-                 best_ref, sems, *, P, KN):
+                 best_ref, sems, *, KN):
     r2 = r2_ref[pl.program_id(0)]
 
     best_d = jnp.full((TILE, KN), _BIG, jnp.float32)
@@ -143,9 +146,9 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref, qx_ref,
         tkey = wi_ref[slot, 0:1, :]   # [1, W]
         trow = wi_ref[slot, 1:2, :]
         wf_s = wf_ref[slot]
-        cand = jnp.zeros((TILE, WIN), bool)
-        for p in range(P):
-            cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
+        # base-corner probe test — see _topk_kernel_packed
+        d = tkey - pk_ref[0, :, 0:1]
+        cand = (d >= 0) & ((d & jnp.int32(~_BLOCK3)) == 0)
         d2 = jnp.zeros((TILE, WIN), jnp.float32)
         for a in range(3):
             diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :]
@@ -179,7 +182,7 @@ def _topk_kernel(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref, qx_ref,
 
 def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref,
                         qx_ref, ti_hbm, tf_hbm, orow_ref, od2_ref,
-                        wi_ref, wf_ref, best_ref, sems, *, P, KN, ROWB,
+                        wi_ref, wf_ref, best_ref, sems, *, KN, ROWB,
                         segs=(WIN,)):
     """Packed-value variant of _topk_kernel for t_cap < 2^ROWB.
 
@@ -216,9 +219,16 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref,
         tkey = wi_ref[slot, 0:1, :vw]   # [1, vw]
         trow = wi_ref[slot, 1:2, :vw]
         wf_s = wf_ref[slot]
-        cand = jnp.zeros((TILE, vw), bool)
-        for p in range(P):
-            cand = cand | (pk_ref[0, :, p:p + 1] == tkey)
+        # base-corner probe test: the 8 probed cells are the 2x2x2 block
+        # at the query's min-corner cell, so with bit-disjoint cell-key
+        # fields a target is in a probed cell iff its key minus the base
+        # key has only the three per-axis +1 bits set. One subtract +
+        # mask replaces eight broadcast compares; false positives are
+        # impossible (any d2 <= r2 target lies in the block) and
+        # sentinel bases (invalid / grid-edge queries) only ever "hit"
+        # sentinel targets, whose 1e30 coords fail the radius test.
+        d = tkey - pk_ref[0, :, 0:1]
+        cand = (d >= 0) & ((d & jnp.int32(~_BLOCK3)) == 0)
         d2 = jnp.zeros((TILE, vw), jnp.float32)
         for a in range(3):
             diff = qx_ref[0, :, a:a + 1] - wf_s[a:a + 1, :vw]
@@ -269,7 +279,7 @@ def _topk_kernel_packed(starts_ref, nch_ref, r2_ref, vidx_ref, pk_ref,
 
 
 def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
-                       txyz_s: jax.Array, probes: jax.Array,
+                       txyz_s: jax.Array, pbase: jax.Array,
                        qxyz: jax.Array, r2: jax.Array, kn: int,
                        interpret: bool = False
                        ) -> Tuple[jax.Array, jax.Array]:
@@ -281,8 +291,11 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
       trow_s: int32[S, T] original target row per sorted position.
       txyz_s: float32[S, T, 3] target coordinates in sorted order
         (invalid rows must be +-1e30).
-      probes: int32[S, Q, P] candidate cell keys per query (queries must
-        be ordered ~monotonically in home-cell key for bounded windows).
+      pbase: int32[S, Q] MIN-CORNER cell key of each query's 2x2x2
+        probe block (device_pipeline._octant_base; sentinel for
+        invalid / grid-edge queries). The kernels resolve all eight
+        probed cells from it with one subtract + bit test. Queries
+        must be ordered ~monotonically in pbase for bounded windows.
       qxyz: float32[S, Q, 3].
       r2: float32[S] squared radius.
       kn: number of neighbours.
@@ -291,21 +304,22 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     ascending by distance.
     """
     s_n, t_cap = tkey_s.shape
-    _, q_n, p_n = probes.shape
+    _, q_n = pbase.shape
     n_tiles = _cdiv(q_n, TILE)
     qpad = n_tiles * TILE - q_n
     if qpad:
-        probes = jnp.pad(probes, ((0, 0), (0, qpad), (0, 0)),
-                         constant_values=_SENTINEL)
+        pbase = jnp.pad(pbase, ((0, 0), (0, qpad)),
+                        constant_values=_SENTINEL)
         qxyz = jnp.pad(qxyz, ((0, 0), (0, qpad), (0, 0)),
                        constant_values=-1e30)
 
-    # per-(search, tile) windows from probe-key extrema (masked sentinel)
-    pk_t = probes.reshape(s_n, n_tiles, TILE, p_n)
+    # per-(search, tile) windows from base-key extrema (masked sentinel)
+    pk_t = pbase.reshape(s_n, n_tiles, TILE)
     val = pk_t != _SENTINEL
-    kmin = jnp.min(jnp.where(val, pk_t, _SENTINEL), axis=(2, 3))
-    kmax = jnp.max(jnp.where(val, pk_t, jnp.int32(-2 ** 31)), axis=(2, 3))
-    tile_any = jnp.any(val, axis=(2, 3))
+    kmin = jnp.min(jnp.where(val, pk_t, _SENTINEL), axis=2)
+    kmax = jnp.max(jnp.where(val, pk_t + jnp.int32(_BLOCK3),
+                             jnp.int32(-2 ** 31)), axis=2)
+    tile_any = jnp.any(val, axis=2)
 
     def ssorted(keys, q):  # lower bound, vmapped over searches
         n = keys.shape[0]
@@ -323,10 +337,13 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
         return lo
 
     start = jax.vmap(ssorted)(tkey_s, kmin)
-    end = jax.vmap(ssorted)(tkey_s, kmax)
+    # UPPER bound (first key > kmax): a run of targets sharing the
+    # max-corner cell key must be covered in full — a lower-bound end
+    # truncates all but the first of them at the window tail
+    end = jax.vmap(ssorted)(tkey_s, kmax + 1)
     t_pad = _cdiv(t_cap, WIN) * WIN + WIN
     start = jnp.clip(start & ~127, 0, t_pad - WIN)
-    rows_w = jnp.minimum(end, t_cap - 1) - start + 2
+    rows_w = jnp.minimum(end, t_cap) - start + 1
     nch = jnp.clip(_cdiv(rows_w, WIN), 1, _cdiv(t_pad, WIN))
     nch = jnp.where(tile_any, nch, 0).astype(jnp.int32)
     start = start.astype(jnp.int32)
@@ -369,15 +386,15 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
     # of quantized distance (the _topk_kernel_packed accuracy gate)
     rowb = max(1, (t_cap - 1).bit_length())
     if 31 - rowb >= 12:
-        kern = functools.partial(_topk_kernel_packed, P=p_n, KN=kn,
+        kern = functools.partial(_topk_kernel_packed, KN=kn,
                                  ROWB=rowb, segs=segs)
     else:
-        kern = functools.partial(_topk_kernel, P=p_n, KN=kn)
+        kern = functools.partial(_topk_kernel, KN=kn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s_n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, p_n), lambda s, i, *_: (s, i, 0),
+            pl.BlockSpec((1, TILE, 1), lambda s, i, *_: (s, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, 4), lambda s, i, *_: (s, i, 0),
                          memory_space=pltpu.VMEM),
@@ -405,5 +422,5 @@ def windowed_cell_topk(tkey_s: jax.Array, trow_s: jax.Array,
             jax.ShapeDtypeStruct((s_n, n_tiles * TILE, kn), jnp.float32),
         ),
         interpret=interpret,
-    )(start, nch, r2, vidx, probes, qx4, ti, tf)
+    )(start, nch, r2, vidx, pbase[..., None], qx4, ti, tf)
     return rows[:, :q_n], d2[:, :q_n]

@@ -125,6 +125,30 @@ _OCTANT = jnp.asarray(
      [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
 
 
+def _octant_base(xyz: jax.Array, mask: jax.Array, cell):
+    """Masked query positions + the MIN-CORNER key of each query's
+    2x2x2 probe block (the windowed_cell_topk kernel resolves all 8
+    octant cells from it with one subtract + bit test).
+
+    Same probe-cell rule as _octant_probes: home cell plus the
+    midpoint-side neighbour per axis — that set is exactly the unit
+    block at base = qcell + min(step, 0). Queries whose block cannot
+    pack injectively (invalid, or within one cell of the +-2^9 grid
+    edge — beyond any LiDAR range) get the sentinel base: they then
+    key-match only sentinel'd invalid targets, whose +-1e30 coords
+    never pass the radius test.
+    """
+    qx = jnp.where(mask[..., None], xyz, -1e30)
+    qc = qx * jnp.float32(1.0 / cell)
+    qcell = jnp.floor(qc).astype(jnp.int32)
+    step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
+    ub = qcell + jnp.minimum(step, 0) + _CELL_HALF
+    ok = mask & jnp.all((ub >= 0) & (ub + 1 < 2 * _CELL_HALF), axis=-1)
+    key = ((ub[..., 0] << (2 * _CELL_BITS)) | (ub[..., 1] << _CELL_BITS)
+           | ub[..., 2])
+    return qx, jnp.where(ok, key, jnp.int32(0x7FFFFFFF))
+
+
 def _octant_probes(xyz: jax.Array, mask: jax.Array, cell):
     """Masked query positions + their 8-cell octant probe keys.
 
@@ -294,18 +318,17 @@ def _batched_grid_core(queries, q_mask, targets, t_mask, r, k, cell,
     tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
     txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
 
-    qx, probes, p_ok = _octant_probes(queries, q_mask, cell)  # [S,Q,8]
-    probes = jnp.where(p_ok, probes, ksen)
+    qx, pbase = _octant_base(queries, q_mask, cell)  # [S, Q]
 
     qperm = None
     if not presorted:
         iota_q = jnp.broadcast_to(jnp.arange(q_n, dtype=jnp.int32),
                                   (s_n, q_n))
-        _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
-        probes = jnp.take_along_axis(probes, qperm[..., None], axis=1)
+        _, qperm = jax.lax.sort((pbase, iota_q), num_keys=1)
+        pbase = jnp.take_along_axis(pbase, qperm, axis=1)
         qx = jnp.take_along_axis(qx, qperm[..., None], axis=1)
 
-    rows, d2 = windowed_cell_topk(tkey_s, trow_s, txyz_s, probes, qx,
+    rows, d2 = windowed_cell_topk(tkey_s, trow_s, txyz_s, pbase, qx,
                                   r * r, k, interpret=interpret)
     return rows, d2, qperm
 

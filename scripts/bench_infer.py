@@ -104,6 +104,9 @@ def main():
     t = register_pair(params, batch_stats, points_d, pmask_d, key)
     float(jnp.sum(t))  # force sync (block_until_ready unreliable on axon)
 
+    # per-pair host sync: the stricter latency-inclusive convention —
+    # and measured FASTER than end-only sync on the axon tunnel (9.19
+    # vs 8.52 pairs/s; unsynced dispatch chains serialize worse there)
     t0 = time.perf_counter()
     s = 0.0
     for i in range(iters):

@@ -56,6 +56,26 @@ def main():
           f"k={k}: {dt * 1e3:8.2f} ms  (hits={int(jnp.sum(hit))})",
           flush=True)
 
+    if os.environ.get("GCL_RADIUS_CHECK") == "1":
+        from gcl_tpu.data.device_pipeline import grid_radius_knn
+        rows_n, hit_n = np.asarray(rows), np.asarray(hit)
+        bad_tot = 0
+        for s in range(s_n):
+            i0, h0 = grid_radius_knn(xyz[s], mask[s], xyz[s], mask[s],
+                                     float(radius[0]), k, cell=cell,
+                                     cell_cap=64)
+            i0, h0 = np.asarray(i0), np.asarray(h0)
+            if not np.array_equal(h0, hit_n[s]):
+                d = np.where((h0 != hit_n[s]).any(axis=1))[0]
+                bad_tot += len(d)
+                if len(d) and bad_tot < 40:
+                    qi = int(d[0])
+                    print(f"search {s}: {len(d)} query rows differ; "
+                          f"q{qi} xyz={np.asarray(xyz[s][qi])} "
+                          f"ref_hits={h0[qi].sum()} "
+                          f"got={hit_n[s][qi].sum()}", flush=True)
+        print("total differing query rows:", bad_tot, flush=True)
+
 
 if __name__ == "__main__":
     main()

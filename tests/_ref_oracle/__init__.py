@@ -97,8 +97,28 @@ def load_ref_method(relpath: str, class_name: str, method_name: str):
 def ref_sc2pcr_matcher(**kwargs):
     """The reference SC2-PCR Matcher, imported directly (its module
     chain — scripts.SC2_PCR.{SC2_PCR,common,utils.SE3}, lib.timer — is
-    torch/numpy only)."""
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    from scripts.SC2_PCR.SC2_PCR import Matcher
+    torch/numpy only).
+
+    The import runs with /root/reference FIRST on sys.path, which
+    hijacks the `scripts` / `lib` / `utils` package names — so both the
+    path entry and every module it cached are restored afterwards
+    (otherwise a later `import scripts.SC2_PCR.dataset` in the same
+    pytest process resolves inside the reference tree and breaks the
+    repo's own SC2-PCR loader tests — seen as order-dependent
+    ModuleNotFoundError in full-suite runs)."""
+    def _mine(name):
+        return (name in ("scripts", "lib", "utils")
+                or name.startswith(("scripts.", "lib.", "utils.")))
+
+    saved_path = list(sys.path)
+    saved_mods = {k: sys.modules.pop(k) for k in list(sys.modules)
+                  if _mine(k)}
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from scripts.SC2_PCR.SC2_PCR import Matcher
+    finally:
+        sys.path[:] = saved_path
+        for k in [m for m in list(sys.modules) if _mine(m)]:
+            sys.modules.pop(k)
+        sys.modules.update(saved_mods)
     return Matcher(**kwargs)

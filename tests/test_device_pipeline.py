@@ -65,7 +65,8 @@ class TestRadiusKNN:
 
     def test_windowed_cell_topk_matches_grid(self, rng):
         """Mosaic batched cell-top-k (interpret mode) == grid search."""
-        from gcl_tpu.data.device_pipeline import (_OCTANT, _cell_key)
+        from gcl_tpu.data.device_pipeline import (_cell_key,
+                                                  _octant_base)
         from gcl_tpu.core.pallas_radius import windowed_cell_topk
         S, Q, T, k, cell = 3, 96, 120, 5, 1.0
         radius = 0.5
@@ -82,21 +83,15 @@ class TestRadiusKNN:
         iota_t = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (S, T))
         tkey_s, trow_s = jax.lax.sort((tkey, iota_t), num_keys=1)
         txyz_s = jnp.take_along_axis(tx, trow_s[..., None], axis=1)
-        qx = jnp.where(jnp.asarray(qm)[..., None], jnp.asarray(q), -1e30)
-        qc = qx / cell
-        qcell = jnp.floor(qc).astype(jnp.int32)
-        step = jnp.where(qc - qcell >= 0.5, 1, -1).astype(jnp.int32)
-        pc = (qcell[:, :, None, :]
-              + step[:, :, None, :] * _OCTANT[None, None, :, :])
-        probes, _ = _cell_key(pc, jnp.asarray(qm)[:, :, None])
+        qx, pbase = _octant_base(jnp.asarray(q), jnp.asarray(qm), cell)
         iota_q = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (S, Q))
-        _, qperm = jax.lax.sort((probes[:, :, 0], iota_q), num_keys=1)
-        probes_s = jnp.take_along_axis(probes, qperm[..., None], axis=1)
+        _, qperm = jax.lax.sort((pbase, iota_q), num_keys=1)
+        pbase_s = jnp.take_along_axis(pbase, qperm, axis=1)
         qxyz_s = jnp.take_along_axis(qx, qperm[..., None], axis=1)
         r2 = jnp.full((S,), radius * radius, jnp.float32)
 
         rows_s, d2_s = windowed_cell_topk(tkey_s, trow_s, txyz_s,
-                                          probes_s, qxyz_s, r2, k,
+                                          pbase_s, qxyz_s, r2, k,
                                           interpret=True)
         sidx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, Q))
         rows = np.asarray(jnp.zeros((S, Q, k), jnp.int32)
